@@ -1,0 +1,207 @@
+package graft.apply
+
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.lake.{LakeTable, LineageEntry, Snapshot}
+import graft.model.{Op, Schemas}
+import graft.schema.{AddColumn, Reconcile, WidenColumn}
+
+/** The micro-batch apply: the Spark-side collapse of the reference's
+  * WAL-handler → Pipeline → Normalizer thread trio into one `foreachBatch`
+  * body (reference: src/pipeline/mod.rs:57-127,
+  * src/connectors/sinks/postgres/normalizer.rs:102-359):
+  *
+  *   reconcile schema → transport dedup → LWW reduce → partition-pruned
+  *   copy-on-write MERGE → atomic lineage commit (idempotent by batchId).
+  *
+  * MERGE arm semantics follow the generated SQL of the reference
+  * (reference: src/connectors/sinks/postgres/merge_generator.rs:128-189):
+  *   NOT MATCHED ∧ op≠DELETE → INSERT;  MATCHED ∧ op=DELETE → DELETE;
+  *   MATCHED ∧ op≠DELETE → UPDATE with per-column "unchanged" coalesce
+  *   against the target row; plus the cross-batch late-event guard
+  *   `src.lsn > dst._lsn` (reference T8 policy, wal_handler.rs:134-136).
+  */
+object MergeApply {
+
+  private val audit = Seq("_lsn", "_op")
+
+  /** Parse op=SchemaChange ddl strings: "add:<col>:<DataType.json>" or
+    * "widen:<col>:<DataType.json>" (the Spark analog of pgoutput Relation
+    * messages, reference: src/source/parser.rs:33-38,210-241).
+    */
+  private[graft] def parseDdl(s: String): (String, String, DataType) = {
+    val a = s.split(":", 3)
+    (a(0), a(1), DataType.fromJson(a(2)))
+  }
+
+  /** Apply one micro-batch of change events to the lake table. Returns the
+    * committed snapshot (unchanged if the batch replays an already-applied
+    * batchId — exactly-once via the lineage guard, reference invariant
+    * src/engine/replication/postgres.rs:86-125).
+    */
+  def applyBatch(
+      spark: SparkSession,
+      lake: LakeTable,
+      batch: DataFrame,
+      batchId: Long): Snapshot = {
+    val t0 = System.currentTimeMillis()
+    val snap = lake.snapshot()
+    if (batchId <= snap.batchId) return snap // replayed batch → no-op
+
+    // ---- 1. schema reconciliation (ddl rows + physical-type widenings) ----
+    val ddlRows = batch.filter(col("op") === Op.SchemaChange)
+      .select("lsn", "ddl").collect()
+      .map(r => (r.getLong(0), parseDdl(r.getString(1)))).sortBy(_._1)
+    val tableSchema = snap.schema
+    val declared = StructType(tableSchema.fields.filterNot(f => audit.contains(f.name)))
+
+    val batchTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    var incoming = StructType(declared.fields.map { f =>
+      batchTypes.get(f.name).fold(f)(dt => f.copy(dataType = dt))
+    })
+    var newColAdds = Map.empty[String, Long]
+    for ((lsn, (kind, name, dt)) <- ddlRows) kind match {
+      case "add" if !incoming.fieldNames.contains(name) =>
+        incoming = incoming.add(StructField(name, dt, nullable = true))
+        newColAdds += (name -> lsn)
+      case "widen" =>
+        incoming = StructType(incoming.fields.map(f =>
+          if (f.name == name) f.copy(dataType = dt) else f))
+      case _ => // add of an existing column: no-op
+    }
+    val plan = Reconcile(declared, incoming)
+    val merged = StructType(plan.merged.fields ++
+      tableSchema.fields.filter(f => audit.contains(f.name)))
+    val payload = Schemas.payloadCols(merged)
+    val addLsn = snap.colAddLsn ++ newColAdds
+
+    // ---- 2. dedup + LWW reduce ----
+    val data0 = batch.filter(col("op") < Op.SchemaChange)
+    // ensure every declared payload column exists physically, with merged type
+    val data = payload.foldLeft(data0) { (df, c) =>
+      val target = merged(c).dataType
+      if (df.columns.contains(c)) df.withColumn(c, col(c).cast(target))
+      else df.withColumn(c, lit(null).cast(target))
+    }.withColumn("turn_idx", col("turn_idx").cast(merged("turn_idx").dataType))
+
+    val srcObs = Observation()
+    val observed = data.observe(srcObs,
+      count(lit(1)).as("events"),
+      min(col("lsn")).as("start_lsn"), max(col("lsn")).as("end_lsn"))
+    val ups = Dedup.lwwReduce(Dedup.transportDedup(observed), payload, addLsn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      val touched = ups
+        .select(lake.bucketExpr(snap.numBuckets).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+
+      if (touched.isEmpty) {
+        // heartbeat / ddl-only batch: still advance batchId + schema
+        // (reference T9: no-op batches advance lineage, record.rs:38-40)
+        return lake.commitEmpty(snap, batchId,
+          if (plan.changed) Some(merged) else None, newColAdds)
+      }
+
+      // ---- 3. partition-pruned COW MERGE ----
+      val target = lake.readBuckets(spark, snap, touched, Some(merged))
+      val t = target.as("t")
+      val u = ups.as("u")
+      val cond = Schemas.keys.map(k => t(k) === u(k)).reduce(_ && _)
+      val joined = t.join(u, cond, "full_outer")
+
+      val uExists = u("lsn").isNotNull
+      val tExists = t("_lsn").isNotNull
+      val tLive = tExists && t("_op") =!= Op.Delete
+      val stale = uExists && tExists && u("lsn") <= t("_lsn")
+      val fresh = uExists && !stale
+      val isDel = u("op") === Op.Delete
+
+      // DELETE keeps a tombstone row (_op=2, payload nulled): its _lsn guard
+      // protects against a late lower-lsn INSERT resurrecting the key.
+      // Live reads filter tombstones out (LakeTable.read); compaction can GC
+      // them once the source can no longer replay below their lsn.
+      val rowClass = when(!uExists, lit("kept"))
+        .when(stale, lit("stale"))
+        .when(isDel && tLive, lit("deleted"))
+        .when(isDel, lit("del_miss"))
+        .when(tLive, lit("updated"))
+        .otherwise(lit("inserted"))
+
+      val mergeObs = Observation()
+      val classified = joined
+        .withColumn("_class", rowClass)
+        .observe(mergeObs,
+          sum(when(col("_class") === "inserted", 1L).otherwise(0L)).as("ins"),
+          sum(when(col("_class") === "updated", 1L).otherwise(0L)).as("upd"),
+          sum(when(col("_class") === "deleted", 1L).otherwise(0L)).as("del"))
+
+      val keyCols = Schemas.keys.map(k =>
+        coalesce(u(k), t(k)).cast(merged(k).dataType).as(k))
+      val payloadCols = payload.map { c =>
+        when(fresh && isDel, lit(null))
+          .when(fresh, when(u(s"${c}__carried"), u(c)).otherwise(t(c)))
+          .otherwise(t(c)).cast(merged(c).dataType).as(c)
+      }
+      val auditCols = Seq(
+        when(fresh, u("lsn")).otherwise(t("_lsn")).as("_lsn"),
+        when(fresh, u("op")).otherwise(t("_op")).as("_op"))
+
+      val result = classified.select(keyCols ++ payloadCols ++ auditCols: _*)
+
+      val newSnap = lake.commitRewrite(spark, snap, touched, result, batchId,
+        endLsn = -1L, // filled from observation below via lineage
+        lineage = LineageEntry(batchId, 0, 0, 0, 0, 0, 0, Map.empty),
+        newSchema = if (plan.changed) Some(merged) else None,
+        newColAdds = newColAdds,
+        lineageFn = Some { () =>
+          val s = srcObs.get
+          val m = mergeObs.get
+          val start = Option(s("start_lsn")).map(_.asInstanceOf[Long]).getOrElse(-1L)
+          val end = Option(s("end_lsn")).map(_.asInstanceOf[Long]).getOrElse(-1L)
+          LineageEntry(batchId, start, end,
+            m("ins").asInstanceOf[Long], m("upd").asInstanceOf[Long],
+            m("del").asInstanceOf[Long],
+            System.currentTimeMillis() - t0, Map.empty)
+        })
+      newSnap
+    } finally ups.unpersist()
+  }
+
+  /** Bulk seed/backfill: load an initial table state recording the stream
+    * cut LSN (the reference's snapshot low/high-watermark handoff collapses
+    * to an LSN cut when the stream starts after the seed — reference T6,
+    * src/engine/snapshot/worker.rs:353-503). Rows get `_lsn = cutLsn`, so
+    * any replayed change event at or before the cut is suppressed by the
+    * MERGE's late-event guard (the should_emit dedup,
+    * src/control/state.rs:375-395).
+    */
+  def seed(
+      spark: SparkSession,
+      lake: LakeTable,
+      rows: DataFrame,
+      cutLsn: Long): Snapshot = {
+    val t0 = System.currentTimeMillis()
+    val snap = lake.snapshot()
+    val payload = Schemas.payloadCols(snap.schema)
+    val data = rows
+      .select((Schemas.keys ++ payload).map(c =>
+        col(c).cast(snap.schema(c).dataType).as(c)): _*)
+      .withColumn("_lsn", lit(cutLsn))
+      .withColumn("_op", lit(Op.Insert))
+    val obs = Observation()
+    val observed = data.observe(obs, count(lit(1)).as("n"))
+    val all = (0 until snap.numBuckets).toSet
+    lake.commitRewrite(spark, snap, all, observed, snap.batchId,
+      endLsn = cutLsn,
+      lineage = LineageEntry(snap.batchId, cutLsn, cutLsn, 0, 0, 0, 0, Map.empty),
+      lineageFn = Some { () =>
+        LineageEntry(snap.batchId, cutLsn, cutLsn,
+          obs.get("n").asInstanceOf[Long], 0, 0,
+          System.currentTimeMillis() - t0, Map.empty)
+      })
+  }
+}

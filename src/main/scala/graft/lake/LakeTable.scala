@@ -1,0 +1,397 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Per-commit lineage record (one per micro-batch apply), the Spark-side
+  * replacement for the reference's `dbmazz_checkpoints` + `_dbmazz._metadata`
+  * watermark pair + metrics sampler
+  * (reference: src/state_store.rs:83-89,
+  * src/connectors/sinks/postgres/setup.rs:111-127,
+  * src/control/metrics_sampler.rs:1-67).
+  */
+case class LineageEntry(
+    batchId: Long,
+    startLsn: Long,
+    endLsn: Long,
+    inserted: Long,
+    updated: Long,
+    deleted: Long,
+    wallMs: Long,
+    bucketRows: Map[Int, Long])
+
+/** One data file tracked by a snapshot. `schemaVersion` records the schema
+  * the file was written with so widened columns can be cast on read.
+  */
+case class DataFileEntry(bucket: Int, schemaVersion: Int, relPath: String)
+
+/** An immutable committed table version. */
+case class Snapshot(
+    version: Long,
+    batchId: Long, // highest applied streaming batch id (idempotence guard)
+    schemaVersion: Int,
+    endLsn: Long,
+    numBuckets: Int,
+    schemas: Map[Int, StructType], // all schema versions ever committed
+    colAddLsn: Map[String, Long],  // column -> lsn at which it joined the stream
+    lineage: Option[LineageEntry],
+    files: Seq[DataFileEntry]) {
+  def schema: StructType = schemas(schemaVersion)
+}
+
+/** A from-scratch transactional lake table: hash-bucketed parquet data files
+  * plus an atomic snapshot log — the Spark-side equivalent of the
+  * reference's staging-table + MERGE machinery
+  * (reference: src/connectors/sinks/postgres/, snowflake/stage.rs:1-473),
+  * built directly because no Iceberg/Delta runtime jar ships with this
+  * environment.
+  *
+  * Layout:
+  * {{{
+  *   <root>/_log/v%012d.meta     — snapshot log, one file per commit
+  *   <root>/data/b=<bucket>/vNNN-*.parquet
+  * }}}
+  *
+  * Commit protocol (kill-safe at any point, mirroring the reference's
+  * checkpoint-before-ack invariant, src/engine/replication/postgres.rs:86-125):
+  *   1. write data files under data/ with unique names (orphans from a
+  *      failed commit are invisible — no manifest references them);
+  *   2. write the snapshot meta to a temp name and atomically rename it to
+  *      v%012d.meta. Readers only ever see fully-committed versions.
+  *
+  * Scale path: the snapshot file holds the full file manifest — one manifest
+  * line per data file. At 100 TB (~10^5-10^6 files) this stays a driver-side
+  * metadata read of tens of MB; the natural evolution is Iceberg-style
+  * manifest-list indirection, which this format is forward-compatible with
+  * (a `file=` line can point at a manifest instead).
+  */
+final class LakeTable(val root: String, hadoopConf: Configuration)
+    extends Serializable {
+
+  @transient private lazy val fs: FileSystem =
+    new Path(root).getFileSystem(hadoopConf)
+
+  private def logDir = new Path(root, "_log")
+  private def dataDir = new Path(root, "data")
+  private def metaPath(v: Long) = new Path(logDir, f"v$v%012d.meta")
+
+  // ---------------------------------------------------------------- reads
+
+  /** Latest committed snapshot. */
+  def snapshot(): Snapshot = {
+    val versions = listVersions()
+    require(versions.nonEmpty, s"no committed snapshot under $root")
+    readSnapshot(versions.max)
+  }
+
+  def snapshotVersions(): Seq[Long] = listVersions()
+
+  private def listVersions(): Seq[Long] = {
+    if (!fs.exists(logDir)) return Seq.empty
+    fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".meta"))
+      .map(n => n.stripPrefix("v").stripSuffix(".meta").toLong)
+  }
+
+  def readSnapshot(version: Long): Snapshot = {
+    val in = fs.open(metaPath(version))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    SnapshotCodec.decode(text)
+  }
+
+  /** Read the current table state (latest schema). Delete tombstones
+    * (`_op = 2`) are filtered out unless `includeTombstones`.
+    */
+  def read(spark: SparkSession, includeTombstones: Boolean = false): DataFrame = {
+    val df = readFiles(spark, snapshot(), None)
+    if (includeTombstones) df else df.filter(col("_op") =!= 2)
+  }
+
+  /** Read only the given buckets' files (partition-pruned read for the
+    * copy-on-write MERGE). `as` overrides the projection schema (used when
+    * the same batch also evolves the schema).
+    */
+  def readBuckets(
+      spark: SparkSession, snap: Snapshot, buckets: Set[Int],
+      as: Option[StructType] = None): DataFrame =
+    readFiles(spark, snap, Some(buckets), as)
+
+  private def readFiles(
+      spark: SparkSession, snap: Snapshot, buckets: Option[Set[Int]],
+      as: Option[StructType] = None): DataFrame = {
+    val target = as.getOrElse(snap.schema)
+    val wanted = snap.files.filter(f => buckets.forall(_.contains(f.bucket)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    if (wanted.isEmpty) return empty
+    // Group by written-with schema version; cast each group up to the latest
+    // schema (widened columns), add nulls for later-added columns, union.
+    wanted.groupBy(_.schemaVersion).toSeq.sortBy(_._1).map { case (sv, fse) =>
+      val written = snap.schemas(sv)
+      val df = spark.read.schema(written)
+        .parquet(fse.map(f => new Path(root, f.relPath).toString): _*)
+      df.select(target.fields.toSeq.map { fld =>
+        if (written.fieldNames.contains(fld.name))
+          col(fld.name).cast(fld.dataType).as(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Bucket assignment expression — co-locates a conversation's turns so the
+    * MERGE join and per-key windows shuffle by the same partitioning.
+    */
+  def bucketExpr(numBuckets: Int) =
+    pmod(hash(col("conv_id")), lit(numBuckets)).cast("int")
+
+  // --------------------------------------------------------------- commits
+
+  /** Create the table with an initial empty snapshot (version 1). */
+  def create(schema: StructType, numBuckets: Int): Snapshot = {
+    require(!fs.exists(logDir) || listVersions().isEmpty,
+      s"table already exists at $root")
+    fs.mkdirs(logDir); fs.mkdirs(dataDir)
+    val snap = Snapshot(1L, -1L, 1, -1L, numBuckets,
+      Map(1 -> schema), Map.empty, None, Seq.empty)
+    writeSnapshot(snap)
+    snap
+  }
+
+  /** Commit a rewrite of `touchedBuckets`: the new content of those buckets
+    * is `newData` (already reduced/merged, includes all surviving rows of
+    * those buckets); files of untouched buckets carry over unchanged.
+    * `newSchema`, when set, bumps the schema version (evolution commit).
+    * Returns the committed snapshot.
+    */
+  def commitRewrite(
+      spark: SparkSession,
+      base: Snapshot,
+      touchedBuckets: Set[Int],
+      newData: DataFrame,
+      batchId: Long,
+      endLsn: Long,
+      lineage: LineageEntry,
+      newSchema: Option[StructType] = None,
+      newColAdds: Map[String, Long] = Map.empty,
+      lineageFn: Option[() => LineageEntry] = None): Snapshot = {
+
+    val sv = if (newSchema.isDefined) base.schemaVersion + 1 else base.schemaVersion
+    val schemas = newSchema.fold(base.schemas)(s => base.schemas + (sv -> s))
+    val schema = schemas(sv)
+
+    val newFiles = writeDataFiles(spark, newData, schema, base.numBuckets,
+      touchedBuckets, sv, base.version + 1)
+
+    val carried = base.files.filterNot(f => touchedBuckets.contains(f.bucket))
+    val rowsByBucket = newFiles.groupBy(_.bucket).map { case (b, fs0) =>
+      b -> fs0.map(f => parquetRowCount(new Path(root, f.relPath))).sum
+    }
+    // lineageFn reads Observation results — only valid after the write
+    // action above materialized the plan.
+    val lin = lineageFn.map(_.apply()).getOrElse(lineage)
+    val next = Snapshot(
+      version = base.version + 1,
+      batchId = math.max(batchId, base.batchId),
+      schemaVersion = sv,
+      endLsn = math.max(math.max(endLsn, lin.endLsn), base.endLsn),
+      numBuckets = base.numBuckets,
+      schemas = schemas,
+      colAddLsn = base.colAddLsn ++ newColAdds,
+      lineage = Some(lin.copy(bucketRows = rowsByBucket)),
+      files = carried ++ newFiles)
+    writeSnapshot(next)
+    next
+  }
+
+  /** Heartbeat / ddl-only commit: advances batchId (and optionally schema)
+    * with no data rewrite — no-op batches still advance lineage
+    * (reference T9, src/core/record.rs:38-40).
+    */
+  def commitEmpty(
+      base: Snapshot, batchId: Long,
+      newSchema: Option[StructType] = None,
+      newColAdds: Map[String, Long] = Map.empty): Snapshot = {
+    val sv = if (newSchema.isDefined) base.schemaVersion + 1 else base.schemaVersion
+    val next = base.copy(
+      version = base.version + 1,
+      batchId = math.max(batchId, base.batchId),
+      schemaVersion = sv,
+      schemas = newSchema.fold(base.schemas)(s => base.schemas + (sv -> s)),
+      colAddLsn = base.colAddLsn ++ newColAdds,
+      lineage = Some(LineageEntry(batchId, -1, -1, 0, 0, 0, 0, Map.empty)))
+    writeSnapshot(next)
+    next
+  }
+
+  /** Schema-only commit (evolution with no data rewrite). */
+  def commitSchema(
+      base: Snapshot, newSchema: StructType,
+      newColAdds: Map[String, Long]): Snapshot = {
+    val sv = base.schemaVersion + 1
+    val next = base.copy(
+      version = base.version + 1,
+      schemaVersion = sv,
+      schemas = base.schemas + (sv -> newSchema),
+      colAddLsn = base.colAddLsn ++ newColAdds,
+      lineage = None)
+    writeSnapshot(next)
+    next
+  }
+
+  /** Write `df` (rows of `schema` + any extra helper cols dropped here) as
+    * per-bucket parquet files; returns the new file entries. One shuffle,
+    * partitioned by bucket, so each task writes one bucket directory.
+    */
+  private def writeDataFiles(
+      spark: SparkSession, df: DataFrame, schema: StructType, numBuckets: Int,
+      touched: Set[Int], sv: Int, version: Long): Seq[DataFileEntry] = {
+    val tmp = new Path(root, s"_tmp/${UUID.randomUUID().toString}")
+    val cols = schema.fieldNames.toSeq.map(col) :+
+      bucketExpr(numBuckets).as("_bucket")
+    val parts = math.max(1, math.min(touched.size,
+      spark.sessionState.conf.numShufflePartitions))
+    df.select(cols: _*)
+      .repartition(parts, col("_bucket"))
+      .write.partitionBy("_bucket").mode("overwrite")
+      .parquet(tmp.toString)
+    // move tmp/_bucket=<b>/part-*.parquet → data/b=<b>/v<version>-<i>.parquet
+    val out = scala.collection.mutable.ArrayBuffer[DataFileEntry]()
+    val bucketDirs = fs.listStatus(tmp).filter(_.isDirectory)
+    for (bd <- bucketDirs) {
+      val b = bd.getPath.getName.stripPrefix("_bucket=").toInt
+      val dest = new Path(dataDir, s"b=$b")
+      fs.mkdirs(dest)
+      val files = fs.listStatus(bd.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      for ((f, i) <- files.zipWithIndex) {
+        val name = f"v$version%012d-$i%04d.parquet"
+        val to = new Path(dest, name)
+        require(fs.rename(f.getPath, to), s"rename failed: ${f.getPath} -> $to")
+        out += DataFileEntry(b, sv, s"data/b=$b/$name")
+      }
+    }
+    fs.delete(tmp, true)
+    out.toSeq
+  }
+
+  /** Atomic snapshot commit: temp write + rename (step 2 of the protocol). */
+  private def writeSnapshot(snap: Snapshot): Unit = {
+    fs.mkdirs(logDir)
+    val target = metaPath(snap.version)
+    require(!fs.exists(target), s"concurrent commit conflict at $target")
+    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID().toString}")
+    val o = fs.create(tmp, true)
+    try o.write(SnapshotCodec.encode(snap).getBytes(StandardCharsets.UTF_8))
+    finally o.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"commit race: $target already exists")
+    }
+  }
+
+  /** Row count from the parquet footer — metadata-only, no data scan. */
+  private def parquetRowCount(p: Path): Long = {
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case _: Throwable => -1L }
+  }
+
+  /** Lineage/metrics as a DataFrame (derived from the snapshot log — always
+    * consistent with committed state; replaces the reference's HTTP
+    * status/metrics endpoints, src/control/handlers.rs:255-312).
+    */
+  def lineageDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = listVersions().sorted.map(readSnapshot).flatMap { s =>
+      s.lineage.map(l => (s.version, l.batchId, l.startLsn, l.endLsn,
+        l.inserted, l.updated, l.deleted, l.wallMs,
+        l.bucketRows.values.sum, s.schemaVersion))
+    }
+    rows.toDF("snapshot_version", "batch_id", "start_lsn", "end_lsn",
+      "inserted", "updated", "deleted", "wall_ms", "rows_after", "schema_version")
+  }
+}
+
+object LakeTable {
+  def apply(spark: SparkSession, root: String): LakeTable =
+    new LakeTable(root, spark.sparkContext.hadoopConfiguration)
+}
+
+/** Line-oriented snapshot codec. Schemas serialize via Spark's own
+  * StructType JSON (single line); everything else is `key=value`.
+  */
+object SnapshotCodec {
+  def encode(s: Snapshot): String = {
+    val b = new StringBuilder
+    b ++= s"version=${s.version}\n"
+    b ++= s"batchId=${s.batchId}\n"
+    b ++= s"schemaVersion=${s.schemaVersion}\n"
+    b ++= s"endLsn=${s.endLsn}\n"
+    b ++= s"numBuckets=${s.numBuckets}\n"
+    s.schemas.toSeq.sortBy(_._1).foreach { case (v, sch) =>
+      b ++= s"schema=$v|${sch.json}\n"
+    }
+    s.colAddLsn.toSeq.sorted.foreach { case (c, l) => b ++= s"coladd=$c|$l\n" }
+    s.lineage.foreach { l =>
+      b ++= s"lineage=${l.batchId}|${l.startLsn}|${l.endLsn}|${l.inserted}|${l.updated}|${l.deleted}|${l.wallMs}\n"
+      l.bucketRows.toSeq.sorted.foreach { case (bk, n) =>
+        b ++= s"bucketrows=$bk|$n\n"
+      }
+    }
+    s.files.sortBy(f => (f.bucket, f.relPath)).foreach { f =>
+      b ++= s"file=${f.bucket}|${f.schemaVersion}|${f.relPath}\n"
+    }
+    b.result()
+  }
+
+  def decode(text: String): Snapshot = {
+    var version = 0L; var batchId = -1L; var schemaVersion = 1
+    var endLsn = -1L; var numBuckets = 16
+    val schemas = scala.collection.mutable.Map[Int, StructType]()
+    val colAdd = scala.collection.mutable.Map[String, Long]()
+    val files = scala.collection.mutable.ArrayBuffer[DataFileEntry]()
+    var lin: Option[LineageEntry] = None
+    val bucketRows = scala.collection.mutable.Map[Int, Long]()
+    text.split('\n').filter(_.nonEmpty).foreach { line =>
+      val i = line.indexOf('=')
+      val (k, v) = (line.substring(0, i), line.substring(i + 1))
+      k match {
+        case "version"       => version = v.toLong
+        case "batchId"       => batchId = v.toLong
+        case "schemaVersion" => schemaVersion = v.toInt
+        case "endLsn"        => endLsn = v.toLong
+        case "numBuckets"    => numBuckets = v.toInt
+        case "schema" =>
+          val j = v.indexOf('|')
+          schemas(v.substring(0, j).toInt) =
+            DataType.fromJson(v.substring(j + 1)).asInstanceOf[StructType]
+        case "coladd" =>
+          val Array(c, l) = v.split('|'); colAdd(c) = l.toLong
+        case "lineage" =>
+          val a = v.split('|')
+          lin = Some(LineageEntry(a(0).toLong, a(1).toLong, a(2).toLong,
+            a(3).toLong, a(4).toLong, a(5).toLong, a(6).toLong, Map.empty))
+        case "bucketrows" =>
+          val Array(bk, n) = v.split('|'); bucketRows(bk.toInt) = n.toLong
+        case "file" =>
+          val a = v.split('|')
+          files += DataFileEntry(a(0).toInt, a(1).toInt, a(2))
+        case _ => // forward compatibility: ignore unknown keys
+      }
+    }
+    Snapshot(version, batchId, schemaVersion, endLsn, numBuckets,
+      schemas.toMap, colAdd.toMap,
+      lin.map(_.copy(bucketRows = bucketRows.toMap)), files.toSeq)
+  }
+}

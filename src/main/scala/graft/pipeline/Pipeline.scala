@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.apply.MergeApply
+import graft.lake.LakeTable
+import graft.model.Schemas
+
+/** Wiring of the end-to-end streaming pipeline — the Spark collapse of the
+  * reference's engine run loop (reference: src/engine/mod.rs:108-288):
+  *
+  *   readStream(binlog segments) → watermark + dropDuplicatesWithinWatermark
+  *   → foreachBatch { reconcile → dedup/LWW → COW MERGE → lineage commit }
+  *
+  * Exactly-once: Structured Streaming WALs source offsets before running a
+  * batch (`checkpointLocation`), and the batchId-guarded lineage commit makes
+  * a replayed batch a no-op — the Spark form of the reference's
+  * checkpoint-before-ack invariant (src/engine/replication/postgres.rs:86-125)
+  * plus idempotent LWW MERGE (docs/architecture.md "effectively-once").
+  *
+  * Pause/resume/drain (reference control plane, src/control/mod.rs:19-32)
+  * map to `query.stop()` + restart against the same checkpoint, and
+  * `Trigger.AvailableNow` as drain.
+  */
+object Pipeline {
+
+  /** Start the CDC query over a binlog segment directory.
+    *
+    * @param maxFilesPerTrigger micro-batch admission control — the analog of
+    *   the reference's FLUSH_SIZE batching (src/pipeline/mod.rs:57-127,
+    *   default 10,000 rows / 5,000 ms).
+    * @param availableNow true = drain all available segments then stop
+    *   (tests/bench); false = continuous 5s trigger (the daemon shape).
+    * @param transportDedup enable the cross-batch stateful dedup stage
+    *   (`dropDuplicatesWithinWatermark` keyed by the source offset) — state
+    *   is GC'd by the event-time watermark, bounding it at 10^10-event scale.
+    */
+  def start(
+      spark: SparkSession,
+      binlogDir: String,
+      lake: LakeTable,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1,
+      availableNow: Boolean = true,
+      transportDedup: Boolean = true,
+      watermarkDelay: String = "10 minutes"): StreamingQuery = {
+    val src0 = spark.readStream
+      .schema(Schemas.changeEvent)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(binlogDir)
+    val src =
+      if (transportDedup)
+        src0.withWatermark("ts", watermarkDelay)
+          .dropDuplicatesWithinWatermark("lsn")
+      else src0
+    src.writeStream
+      .queryName("graft-cdc")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        MergeApply.applyBatch(batch.sparkSession, lake, batch, batchId)
+        ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime("5 seconds"))
+      .start()
+  }
+
+  /** Run to completion over currently-available segments (drain). */
+  def runAvailable(
+      spark: SparkSession,
+      binlogDir: String,
+      lake: LakeTable,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1,
+      transportDedup: Boolean = true): Unit = {
+    val q = start(spark, binlogDir, lake, checkpointDir, maxFilesPerTrigger,
+      availableNow = true, transportDedup = transportDedup)
+    q.awaitTermination()
+  }
+}
