@@ -1,13 +1,78 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Analytics, CdcQueries, DataOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Each entry is one operator/stage from SURVEY.md §2 (CDC engine) or the
+  * training-data-pipeline set, expressed over the shared parquet tables so
+  * the driver can cross-check against DuckDB. Names map to SURVEY §2 ids in
+  * the Scaladoc of the implementing method.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the real engine end-to-end (binlog-shaped stream derived from
+    * `events` → LakeTable COW MERGE over 4 micro-batches → live table).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CdcQueries.pipelineE2e(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- CDC engine stages (SURVEY §2) ---
+    "cdc_envelope_convert" -> (CdcQueries.envelopeConvert(_, _)), // S4/P6
+    "cdc_transport_dedup" -> (CdcQueries.transportDedup(_, _)),   // T3
+    "cdc_lww_reduce" -> (CdcQueries.lwwReduce(_, _)),             // A1/2.5
+    "cdc_final_state" -> (CdcQueries.finalState(_, _)),           // J1 fold
+    "cdc_pipeline_e2e" -> (CdcQueries.pipelineE2e(_, _)),         // whole engine
+    "cdc_schema_reconcile" -> (CdcQueries.schemaReconcile(_, _)), // E1/E2
+    "cdc_lineage_stats" -> (CdcQueries.lineageStats(_, _)),       // A4/A7
+    "cdc_snapshot_chunks" -> (CdcQueries.snapshotChunks(_, _)),   // S8/A2
+    "cdc_commit_boundaries" -> (CdcQueries.commitBoundaries(_, _)), // T4
+    // --- training-data pipeline ops ---
+    "dedup_exact" -> (DataOps.dedupExact(_, _)),
+    "dedup_minhash_sig" -> (DataOps.minhashSignatures(_, _)),
+    "dedup_minhash_lsh_pairs" -> (DataOps.minhashLshPairs(_, _)),
+    "dedup_ngram_jaccard" -> (DataOps.ngramJaccard(_, _)),
+    "dedup_simhash" -> (DataOps.simhash(_, _)),
+    "sim_dot_topk" -> (DataOps.dotTopK(_, _)),
+    "sim_ann_ivf" -> (DataOps.annIvf(_, _)),
+    "text_langid" -> (DataOps.langId(_, _)),
+    "text_tokens" -> (DataOps.textTokens(_, _)),
+    "text_quality" -> (DataOps.textQuality(_, _)),
+    "text_fingerprint" -> (DataOps.textFingerprint(_, _)),
+    "multimodal_meta" -> (DataOps.multimodalMeta(_, _)),
+    // --- general analytics (joins/aggs/windows on Catalyst built-ins) ---
+    "q1_agg" -> (Analytics.q1Agg(_, _)),
+    "q3_join" -> (Analytics.q3Join(_, _)),
+    "q_window" -> (Analytics.userWindow(_, _)))
+
+  /** DuckDB-equivalent SQL for every SQL-expressible query above. Omitted
+    * (rows-only driver check): dedup_simhash, sim_ann_ivf — their bit/float
+    * constructions have no cheap DuckDB-identical form.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "cdc_envelope_convert" -> CdcQueries.envelopeConvertSql,
+    "cdc_transport_dedup" -> CdcQueries.transportDedupSql,
+    "cdc_lww_reduce" -> CdcQueries.lwwReduceSql,
+    "cdc_final_state" -> CdcQueries.finalStateSql,
+    "cdc_pipeline_e2e" -> CdcQueries.pipelineE2eSql,
+    "cdc_schema_reconcile" -> CdcQueries.schemaReconcileSql,
+    "cdc_lineage_stats" -> CdcQueries.lineageStatsSql,
+    "cdc_snapshot_chunks" -> CdcQueries.snapshotChunksSql,
+    "cdc_commit_boundaries" -> CdcQueries.commitBoundariesSql,
+    "dedup_exact" -> DataOps.dedupExactSql,
+    "dedup_minhash_sig" -> DataOps.minhashSignaturesSql,
+    "dedup_minhash_lsh_pairs" -> DataOps.minhashLshPairsSql,
+    "dedup_ngram_jaccard" -> DataOps.ngramJaccardSql,
+    "sim_dot_topk" -> DataOps.dotTopKSql,
+    "text_langid" -> DataOps.langIdSql,
+    "text_tokens" -> DataOps.textTokensSql,
+    "text_quality" -> DataOps.textQualitySql,
+    "text_fingerprint" -> DataOps.textFingerprintSql,
+    "multimodal_meta" -> DataOps.multimodalMetaSql,
+    "q1_agg" -> Analytics.q1AggSql,
+    "q3_join" -> Analytics.q3JoinSql,
+    "q_window" -> Analytics.userWindowSql)
 }

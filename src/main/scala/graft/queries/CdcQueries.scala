@@ -1,0 +1,255 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.apply.MergeApply
+import graft.dedup.Dedup
+import graft.lake.LakeTable
+import graft.model.Schemas
+import graft.schema.{AddColumn, IgnoreDrop, Reconcile, RejectChange, WidenColumn}
+
+/** Driver-contract CDC queries over the shared `events` table, each paired
+  * with DuckDB oracle SQL (SparkEntry.oracleSql). A deterministic mapping
+  * turns `events` into a transcript change stream — the same arithmetic in
+  * Spark and in the oracle SQL, so results compare bit-for-bit.
+  *
+  * Mapping: lsn=event_id; op: signup→INSERT, error→DELETE, else UPDATE;
+  * purchase UPDATEs omit `text` (the TOAST/unchanged fixture,
+  * reference: src/core/record.rs:130-131).
+  */
+object CdcQueries {
+
+  /** The envelope projection (reference converter S4 + casts P6,
+    * src/source/converter.rs:18-135).
+    */
+  def envelope(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val op = when(col("event_type") === "signup", lit(0))
+      .when(col("event_type") === "error", lit(2))
+      .otherwise(lit(1))
+    ev.select(
+      col("event_id").as("lsn"),
+      op.as("op"),
+      concat(lit("conv_"), lpad(col("user_id").cast("string"), 4, "0")).as("conv_id"),
+      (col("event_id") % 23).cast("int").as("turn_idx"),
+      when(col("event_id") % 4 === 0, "user")
+        .when(col("event_id") % 4 === 1, "assistant")
+        .when(col("event_id") % 4 === 2, "system")
+        .otherwise("tool").as("role"),
+      when(col("event_type").isin("error", "purchase"), lit(null).cast("string"))
+        .otherwise(concat(lit("text-"), col("event_id").cast("string"),
+          lit("-"), col("event_type"))).as("text"),
+      when(col("event_type") === "error", lit(null).cast("string"))
+        .when(col("event_id") % 5 === 0,
+          concat(lit("tool_"), (col("event_id") % 7).cast("string")))
+        .otherwise(lit(null).cast("string")).as("tool"),
+      col("ts"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      (col("event_type") === "purchase").as("text_unchanged"))
+  }
+
+  /** Shared WITH-clause for the oracles (same arithmetic as [[envelope]]). */
+  val envelopeSql: String =
+    """WITH env AS (
+      |  SELECT event_id AS lsn,
+      |    CASE event_type WHEN 'signup' THEN 0 WHEN 'error' THEN 2 ELSE 1 END AS op,
+      |    'conv_' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+      |    CAST(event_id % 23 AS INT) AS turn_idx,
+      |    CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+      |      WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+      |    CASE WHEN event_type IN ('error','purchase') THEN NULL
+      |      ELSE 'text-' || CAST(event_id AS VARCHAR) || '-' || event_type END AS text,
+      |    CASE WHEN event_type = 'error' THEN NULL
+      |      WHEN event_id % 5 = 0 THEN 'tool_' || CAST(event_id % 7 AS VARCHAR)
+      |      ELSE NULL END AS tool,
+      |    epoch_us(ts) AS ts_us,
+      |    (event_type = 'purchase') AS text_unchanged
+      |  FROM events
+      |)""".stripMargin
+
+  /** LWW reduction oracle clause (reference A1,
+    * merge_generator.rs:98-113), with the reference's unchanged-column
+    * rules: a column's winner is the last event that *carried* it.
+    */
+  val lwwSql: String =
+    """, red AS (
+      |  SELECT conv_id, turn_idx,
+      |    max(lsn) AS lsn,
+      |    arg_max(struct_pack(v := op), lsn).v AS op,
+      |    arg_max(struct_pack(v := role), lsn).v AS role,
+      |    arg_max(struct_pack(v := text),
+      |      CASE WHEN op <> 1 OR NOT text_unchanged THEN lsn END).v AS text,
+      |    arg_max(struct_pack(v := tool), lsn).v AS tool,
+      |    arg_max(struct_pack(v := ts_us), lsn).v AS ts_us,
+      |    max(CASE WHEN op <> 1 OR NOT text_unchanged THEN lsn END)
+      |      IS NOT NULL AS text_carried
+      |  FROM env GROUP BY conv_id, turn_idx
+      |)""".stripMargin
+
+  private val payload = Seq("role", "text", "tool", "ts_us")
+
+  // ------------------------------------------------------------- queries
+
+  def envelopeConvert(spark: SparkSession, sfDir: String): DataFrame =
+    envelope(spark, sfDir).drop("ts").orderBy("lsn")
+
+  val envelopeConvertSql: String =
+    envelopeSql + "\nSELECT lsn, op, conv_id, turn_idx, role, text, tool, " +
+      "ts_us, text_unchanged FROM env ORDER BY lsn"
+
+  /** Transport dedup of at-least-once redelivery (reference T3): every 10th
+    * event is replayed; dedup by source offset restores the exact stream.
+    */
+  def transportDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val env = envelope(spark, sfDir).drop("ts")
+    Dedup.transportDedup(env.unionAll(env.filter(col("lsn") % 10 === 0)))
+      .orderBy("lsn")
+  }
+
+  val transportDedupSql: String = envelopeConvertSql // dups collapse exactly
+
+  /** Per-key LWW winners incl. carried-text resolution (reference A1). */
+  def lwwReduce(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.lwwReduce(envelope(spark, sfDir).drop("ts"), payload)
+      .withColumnRenamed("text__carried", "text_carried")
+      .select("conv_id", "turn_idx", "lsn", "op", "role", "text", "tool",
+        "ts_us", "text_carried")
+      .orderBy("conv_id", "turn_idx")
+
+  val lwwReduceSql: String =
+    envelopeSql + lwwSql +
+      "\nSELECT conv_id, turn_idx, lsn, op, role, text, tool, ts_us, " +
+      "text_carried FROM red ORDER BY conv_id, turn_idx"
+
+  /** Final live table after folding the whole stream (MERGE semantics J1:
+    * last op ≠ DELETE survives, text = last carried text).
+    */
+  def finalState(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.lwwReduce(envelope(spark, sfDir).drop("ts"), payload)
+      .filter(col("op") =!= 2)
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts_us", "lsn")
+      .orderBy("conv_id", "turn_idx")
+
+  val finalStateSql: String =
+    envelopeSql + lwwSql +
+      "\nSELECT conv_id, turn_idx, role, text, tool, ts_us, lsn FROM red " +
+      "WHERE op <> 2 ORDER BY conv_id, turn_idx"
+
+  /** THE end-to-end check: run the real engine (LakeTable + COW MERGE over
+    * four lsn-ordered micro-batches) and return the live table — the oracle
+    * is the plain SQL fold [[finalStateSql]]. Engine == declarative fold.
+    */
+  def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val env = envelope(spark, sfDir)
+      .withColumn("ddl", lit(null).cast("string"))
+    val dir = Files.createTempDirectory("graft-e2e").toString
+    val lake = LakeTable(spark, dir)
+    lake.create(Schemas.transcript, 16)
+    val maxLsn = env.agg(max("lsn")).head().getLong(0)
+    val step = math.max(1L, maxLsn / 4 + 1)
+    for (i <- 0 until 4) {
+      val b = env.filter(col("lsn") >= i * step && col("lsn") < (i + 1) * step)
+      MergeApply.applyBatch(spark, lake, b, i.toLong)
+    }
+    lake.read(spark)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("_lsn").as("lsn"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  val pipelineE2eSql: String = finalStateSql
+
+  /** Schema reconciliation plan as data (reference E1/E2 diff policy). */
+  def schemaReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val table = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val incoming = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", LongType),
+      StructField("text", StringType), StructField("ts", TimestampType),
+      StructField("tool", StringType)))
+    val plan = Reconcile(table, incoming)
+    import spark.implicits._
+    plan.actions.map {
+      case AddColumn(f)           => (f.name, "add", "", f.dataType.simpleString)
+      case WidenColumn(n, f, t)   => (n, "widen", f.simpleString, t.simpleString)
+      case IgnoreDrop(n)          => (n, "ignore_drop", "", "")
+      case RejectChange(n, f, t)  => (n, "reject", f.simpleString, t.simpleString)
+    }.toDF("col_name", "action", "from_type", "to_type")
+      .orderBy("col_name", "action")
+  }
+
+  val schemaReconcileSql: String =
+    """SELECT * FROM (VALUES
+      |  ('role', 'ignore_drop', '', ''),
+      |  ('tool', 'add', '', 'string'),
+      |  ('turn_idx', 'widen', 'int', 'bigint')
+      |) t(col_name, action, from_type, to_type) ORDER BY col_name, action""".stripMargin
+
+  /** Per-conversation lineage/progress stats (reference A4,
+    * snapshot/state_store.rs:141-216).
+    */
+  def lineageStats(spark: SparkSession, sfDir: String): DataFrame =
+    envelope(spark, sfDir)
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("events"),
+        sum(when(col("op") === 0, 1L).otherwise(0L)).as("inserts"),
+        sum(when(col("op") === 1, 1L).otherwise(0L)).as("updates"),
+        sum(when(col("op") === 2, 1L).otherwise(0L)).as("deletes"),
+        min("lsn").as("start_lsn"),
+        max("lsn").as("end_lsn"))
+      .orderBy("conv_id")
+
+  val lineageStatsSql: String =
+    envelopeSql +
+      """
+        |SELECT conv_id, count(*) AS events,
+        |  sum(CASE WHEN op = 0 THEN 1 ELSE 0 END) AS inserts,
+        |  sum(CASE WHEN op = 1 THEN 1 ELSE 0 END) AS updates,
+        |  sum(CASE WHEN op = 2 THEN 1 ELSE 0 END) AS deletes,
+        |  min(lsn) AS start_lsn, max(lsn) AS end_lsn
+        |FROM env GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
+  /** Snapshot chunk planning: key-range chunks per table slice (reference
+    * chunker A2/S8, src/engine/snapshot/chunker.rs:39-158).
+    */
+  def snapshotChunks(spark: SparkSession, sfDir: String): DataFrame =
+    envelope(spark, sfDir)
+      .groupBy("conv_id")
+      .agg(
+        min("turn_idx").as("min_turn"),
+        max("turn_idx").as("max_turn"),
+        countDistinct("turn_idx").as("turns"))
+      .withColumn("n_chunks", expr("(turns + 4) DIV 5"))
+      .orderBy("conv_id")
+
+  val snapshotChunksSql: String =
+    envelopeSql +
+      """
+        |SELECT conv_id, min(turn_idx) AS min_turn, max(turn_idx) AS max_turn,
+        |  count(DISTINCT turn_idx) AS turns,
+        |  (count(DISTINCT turn_idx) + 4) // 5 AS n_chunks
+        |FROM env GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
+  /** Commit-boundary checkpoint positions (reference T4: only tx-commit
+    * offsets are persistable, engine/replication/mysql.rs:274-296).
+    */
+  def commitBoundaries(spark: SparkSession, sfDir: String): DataFrame =
+    envelope(spark, sfDir)
+      .withColumn("xid", expr("lsn DIV 16"))
+      .groupBy("xid")
+      .agg(count(lit(1)).as("events_in_tx"), max("lsn").as("commit_lsn"))
+      .orderBy("xid")
+
+  val commitBoundariesSql: String =
+    envelopeSql +
+      """
+        |SELECT lsn // 16 AS xid, count(*) AS events_in_tx, max(lsn) AS commit_lsn
+        |FROM env GROUP BY 1 ORDER BY xid""".stripMargin
+}

@@ -155,6 +155,19 @@ class MergeApplySpec extends SparkSpec {
       want.map(t => (t.conv_id, t.turn_idx, t.text, t.tool)))
   }
 
+  test("explicit null in an update overwrites (null != unchanged)") {
+    val events = Seq(
+      ev(2, Op.Insert, "c1", 0, text = "a", tool = "tool_9"),
+      ev(4, Op.Update, "c1", 0, text = "b", tool = null)) // tool cleared
+    val lake = newLake()
+    applyAll(lake, Seq(events)) // intra-batch path (max_by null-arg)
+    assert(liveState(lake).head.tool == null)
+    assert(liveState(lake) == OracleFold.finalState(events))
+    val lake2 = newLake()
+    applyAll(lake2, Seq(events.take(1), events.drop(1))) // cross-batch path
+    assert(liveState(lake2).head.tool == null)
+  }
+
   test("lineage records counts and offsets per commit") {
     val b1 = Seq(ev(2, Op.Insert, "c1", 0, text = "a"),
       ev(4, Op.Insert, "c1", 1, text = "b"))
