@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.binlog.{BinlogGen, GenConfig, OracleFold}
+import graft.lake.LakeTable
+import graft.model.{Schemas, Transcript}
+import graft.pipeline.Pipeline
+
+/** End-to-end Structured Streaming suites: replay equality, kill/resume at
+  * batch boundaries, mid-stream schema evolution — the north rule's
+  * `sbt -batch test` replay verification.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def liveState(lake: LakeTable): Vector[Transcript] =
+    lake.read(spark)
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "_lsn", "_op")
+      .as[Transcript].collect().toVector.sortBy(t => (t.conv_id, t.turn_idx))
+
+  private def payloadOf(ts: Vector[Transcript]) =
+    ts.map(t => (t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts))
+
+  test("streaming run over binlog segments equals oracle fold") {
+    val cfg = GenConfig(seed = 3, numConvs = 60, eventsPerConv = 40,
+      hotConvs = 3, hotFactor = 4)
+    val work = tmpDir("stream1")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(BinlogGen.events(cfg)).toDF(), s"$work/binlog", 8)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 8)
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 3)
+    val want = OracleFold.finalState(BinlogGen.events(cfg))
+    assert(liveState(lake) == want)
+    // lineage covered every commit with monotone batch ids
+    val lin = lake.lineageDf(spark).orderBy("batch_id")
+      .select("batch_id").as[Long].collect().toSeq
+    assert(lin == lin.sorted && lin.nonEmpty)
+  }
+
+  test("stop/restart mid-stream resumes from checkpoint (replay equality)") {
+    val cfg = GenConfig(seed = 5, numConvs = 50, eventsPerConv = 30)
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("stream2")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // phase 1: only the first half of segments exists; drain and "crash"
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(events).toDF(), s"$work/all", 10)
+    fs.mkdirs(new Path(s"$work/binlog"))
+    val segs = fs.listStatus(new Path(s"$work/all")).map(_.getPath)
+      .sortBy(_.getName)
+    segs.take(5).foreach(p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+        new Path(s"$work/binlog", p.getName), false,
+        spark.sparkContext.hadoopConfiguration))
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 8)
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 2)
+    val midVersion = lake.snapshot().version
+    assert(midVersion > 1)
+
+    // phase 2: rest of the segments arrive; restart against same checkpoint
+    segs.drop(5).foreach(p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+        new Path(s"$work/binlog", p.getName), false,
+        spark.sparkContext.hadoopConfiguration))
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 2)
+    assert(liveState(lake) == OracleFold.finalState(events))
+  }
+
+  test("mid-stream schema evolution: tool column added by ddl event") {
+    val addAt = 1001L // odd lsn
+    val cfg = GenConfig(seed = 9, numConvs = 40, eventsPerConv = 30,
+      addToolAtLsn = Some(addAt))
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("stream3")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(events).toDF(), s"$work/binlog", 6)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcriptNoTool, 8) // table starts WITHOUT tool
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 2)
+    val snap = lake.snapshot()
+    assert(snap.schema.fieldNames.contains("tool"))
+    assert(snap.colAddLsn.get("tool").contains(addAt))
+    val want = OracleFold.finalState(events, Map("tool" -> addAt))
+    assert(liveState(lake) == want)
+    assert(liveState(lake).exists(_.tool != null)) // evolution populated it
+  }
+
+  test("orphan data files from a killed commit are invisible to readers") {
+    val cfg = GenConfig(seed = 13, numConvs = 10, eventsPerConv = 10)
+    val work = tmpDir("stream4")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(BinlogGen.events(cfg)).toDF(), s"$work/binlog", 2)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 4)
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt")
+    val before = liveState(lake)
+    // simulate a crash between data-file write and snapshot rename:
+    // stray parquet in a bucket dir that no manifest references
+    spark.createDataset(Seq(
+      Transcript("conv_zz", 99, "user", "GHOST", null,
+        new java.sql.Timestamp(0), 999999L, 0))).toDF()
+      .coalesce(1).write.mode("append").parquet(s"$work/lake/data/b=0")
+    assert(liveState(lake) == before) // manifest-based reads ignore orphans
+  }
+
+  test("transport duplicates across segments collapse (watermark dedup)") {
+    val cfg = GenConfig(seed = 17, numConvs = 30, eventsPerConv = 20)
+    val events = BinlogGen.events(cfg)
+    // replay a suffix of each half (at-least-once redelivery across files)
+    val dup = events ++ events.filter(_.lsn % 7 == 0)
+    val work = tmpDir("stream5")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(dup.sortBy(_.lsn)).toDF(), s"$work/binlog", 6)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 8)
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 2)
+    assert(liveState(lake) == OracleFold.finalState(events))
+  }
+}

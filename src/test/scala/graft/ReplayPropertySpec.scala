@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import scala.util.Random
+
+import graft.apply.MergeApply
+import graft.binlog.{BinlogGen, OracleFold}
+import graft.dedup.Dedup
+import graft.lake.LakeTable
+import graft.model.{ChangeEvent, Op, Schemas, Transcript}
+
+/** Randomized replay-equality properties (the ScalaCheck-style upgrade over
+  * the reference's two integration tests, SURVEY §5): for random event
+  * interleavings, random batch splits, and random batch replays, the
+  * engine's final table equals the sequential oracle fold.
+  */
+class ReplayPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomLog(seed: Long, n: Int): Vector[ChangeEvent] = {
+    val rnd = new Random(seed)
+    val convs = Vector("a", "b", "c", "hot")
+    (1 to n).map { i =>
+      val lsn = 2L * i
+      // "hot" conv takes 40% of events — skew baked into the property
+      val conv = if (rnd.nextDouble() < 0.4) "hot" else convs(rnd.nextInt(3))
+      val turn = rnd.nextInt(5)
+      val roll = rnd.nextDouble()
+      val op = if (roll < 0.5) Op.Insert else if (roll < 0.85) Op.Update else Op.Delete
+      val unchanged = op == Op.Update && rnd.nextBoolean()
+      ChangeEvent(lsn, op, conv, turn,
+        if (op == Op.Delete) null else s"role${rnd.nextInt(3)}",
+        if (op == Op.Delete || unchanged) null else s"t$lsn-${rnd.nextInt(100)}",
+        if (op == Op.Delete || rnd.nextBoolean()) null else s"tool${rnd.nextInt(3)}",
+        new Timestamp(BinlogGen.BaseMs + lsn * 1000), unchanged, lsn / 8, null)
+    }.toVector
+  }
+
+  private def liveState(lake: LakeTable): Vector[Transcript] =
+    lake.read(spark)
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "_lsn", "_op")
+      .as[Transcript].collect().toVector.sortBy(t => (t.conv_id, t.turn_idx))
+
+  test("random logs, random batch splits, random replays == oracle fold") {
+    for (seed <- 1L to 6L) {
+      val rnd = new Random(seed * 101)
+      val events = randomLog(seed, 120)
+      // random split into 1..5 lsn-ordered batches
+      val nb = 1 + rnd.nextInt(5)
+      val cuts = (Vector.fill(nb - 1)(rnd.nextInt(events.size)).sorted
+        :+ events.size)
+      val batches = (0 +: cuts).sliding(2).map { case Seq(a, b) =>
+        events.slice(a, b)
+      }.filter(_.nonEmpty).toVector
+      val lake = LakeTable(spark, tmpDir(s"prop$seed"))
+      lake.create(Schemas.transcript, 4)
+      var id = 0L
+      for (b <- batches) {
+        MergeApply.applyBatch(spark, lake, spark.createDataset(b).toDF(), id)
+        // randomly replay the batch we just applied (at-least-once)
+        if (rnd.nextBoolean())
+          MergeApply.applyBatch(spark, lake, spark.createDataset(b).toDF(), id)
+        id += 1
+      }
+      assert(liveState(lake) == OracleFold.finalState(events),
+        s"seed=$seed batches=${batches.map(_.size)}")
+    }
+  }
+
+  test("salted two-phase LWW ≡ single-phase LWW on random skewed batches") {
+    for (seed <- 1L to 4L) {
+      val events = randomLog(seed * 7, 300)
+      val df = spark.createDataset(events).toDF()
+      val payload = Schemas.payloadCols(Schemas.transcript)
+      val a = Dedup.lwwReduce(df, payload)
+        .orderBy("conv_id", "turn_idx").collect().toSeq
+      val b = Dedup.lwwReduceSalted(df, payload, saltBuckets = 7)
+        .select(a.head.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        .orderBy("conv_id", "turn_idx").collect().toSeq
+      assert(a == b, s"seed=$seed")
+    }
+  }
+}
