@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.binlog.{BinlogGen, GenConfig}
+import graft.lake.LakeTable
+import graft.model.Schemas
+import graft.pipeline.Pipeline
+
+/** Scaling-efficiency benchmark (north rule: throughput at N vs 4N
+  * executors, efficiency ≥ 0.8). In this sandbox the two cluster sizes are
+  * evidenced by running the identical job at two local parallelism levels
+  * (e.g. local[8] vs local[32]) on the same pre-generated input.
+  *
+  * One invocation = one measurement at --cpus; run it at both levels and
+  * compare (the input directory is generated once, keyed by scale, and
+  * reused so both levels see byte-identical segments):
+  *
+  *   sbt "runMain graft.ScalingBench --cpus 8  --convs 40000 --events-per-conv 100"
+  *   sbt "runMain graft.ScalingBench --cpus 32 --convs 40000 --events-per-conv 100"
+  *
+  * Prints one JSON line: {"cpus":N,"events":M,"applySec":S,"eventsPerSec":R,...}
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val opt = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val cpus = opt.getOrElse("--cpus", "32").toInt
+    val convs = opt.getOrElse("--convs", "40000").toInt
+    val epc = opt.getOrElse("--events-per-conv", "100").toInt
+    val hot = opt.getOrElse("--hot-convs", "3").toInt
+    val hotFactor = opt.getOrElse("--hot-factor", "50").toInt
+    val segments = opt.getOrElse("--segments", "32").toInt
+    val fpt = opt.getOrElse("--files-per-trigger", "8").toInt
+    val buckets = opt.getOrElse("--buckets", "64").toInt
+    val workBase = opt.getOrElse("--work", "/tmp/graft-scaling")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // segments are written with 16MB row groups — map them to input splits
+      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+      // shuffle/spill files follow the work dir (tmpfs when benchmarking —
+      // isolates compute scaling from the single local disk)
+      .config("spark.local.dir", s"$workBase/spark-local")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = GenConfig(numConvs = convs, eventsPerConv = epc,
+      hotConvs = hot, hotFactor = hotFactor,
+      addToolAtLsn = Some(2L * convs * epc / 4 + 1))
+    val events = cfg.totalEvents
+    val binlogDir = s"$workBase/binlog-c$convs-e$epc-s$segments"
+    val fs = new org.apache.hadoop.fs.Path(workBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(binlogDir))) {
+      System.err.println(s"[scaling] generating $events events -> $binlogDir")
+      BinlogGen.writeSegments(spark,
+        BinlogGen.eventsDs(spark, cfg).toDF(), binlogDir, segments)
+    }
+
+    // fresh lake + checkpoint per measurement; identical input for all levels
+    val runDir = s"$workBase/run-cpus$cpus-${System.nanoTime()}"
+    val lake = LakeTable(spark, s"$runDir/lake")
+    lake.create(Schemas.transcriptNoTool, buckets)
+
+    val dedup = !args.contains("--no-dedup")
+    val t0 = System.nanoTime()
+    Pipeline.runAvailable(spark, binlogDir, lake, s"$runDir/ckpt",
+      maxFilesPerTrigger = fpt, transportDedup = dedup)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val live = lake.read(spark).count()
+    val perBatch = lake.snapshotVersions().sorted.flatMap(v =>
+      lake.readSnapshot(v).lineage.map(_.wallMs))
+
+    println(f"""{"bench":"scaling","cpus":$cpus,"events":$events,""" +
+      f""""applySec":$sec%.2f,"eventsPerSec":${events / sec}%.0f,""" +
+      f""""liveRows":$live,"segments":$segments,"batches":${segments / fpt},""" +
+      s""""dedup":$dedup,"batchWallMs":[${perBatch.mkString(",")}]}""")
+    fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+    spark.stop()
+  }
+}

@@ -91,11 +91,19 @@ object MergeApply {
     val observed = data.observe(srcObs,
       count(lit(1)).as("events"),
       min(col("lsn")).as("start_lsn"), max(col("lsn")).as("end_lsn"))
-    val ups = Dedup.lwwReduce(Dedup.transportDedup(observed), payload, addLsn)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No explicit dropDuplicates here: the LWW reduce is idempotent under
+    // duplicated rows (same lsn ⇒ identical row ⇒ same max_by winner), so an
+    // extra shuffle on lsn would buy nothing. Cross-batch redelivery is
+    // handled by the streaming dropDuplicatesWithinWatermark stage, the
+    // batchId guard, and the per-row _lsn guard (defense in depth).
+    val ups = Dedup.lwwReduce(observed, payload, addLsn)
 
-    try {
-      val touched = ups
+    {
+      // Touched-bucket discovery runs on the RAW batch (cheap distinct of a
+      // derived int), NOT on the reduced updates — avoids materializing and
+      // caching the wide LWW output just to learn its buckets; the reduce
+      // then streams straight into the MERGE join in a single pass.
+      val touched = data
         .select(lake.bucketExpr(snap.numBuckets).as("b")).distinct()
         .collect().map(_.getInt(0)).toSet
 
@@ -168,7 +176,7 @@ object MergeApply {
             System.currentTimeMillis() - t0, Map.empty)
         })
       newSnap
-    } finally ups.unpersist()
+    }
   }
 
   /** Bulk seed/backfill: load an initial table state recording the stream

@@ -131,7 +131,11 @@ object BinlogGen {
     val tmp = new Path(dir + "_tmp")
     df.repartitionByRange(numSegments, col("lsn"))
       .sortWithinPartitions("lsn")
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite")
+      // small row groups keep a segment splittable: the scan of one segment
+      // file parallelizes across tasks instead of being one 100+MB split
+      .option("parquet.block.size", (16L * 1024 * 1024).toString)
+      .parquet(tmp.toString)
     fs.mkdirs(new Path(dir))
     val parts = fs.listStatus(tmp)
       .filter(_.getPath.getName.endsWith(".parquet"))

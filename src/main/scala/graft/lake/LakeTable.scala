@@ -192,8 +192,17 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       touchedBuckets, sv, base.version + 1)
 
     val carried = base.files.filterNot(f => touchedBuckets.contains(f.bucket))
+    // footer reads are metadata-only but IO-latency bound — do them in
+    // parallel on the driver (one open per new file)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counts: Map[DataFileEntry, Long] = Await.result(
+      Future.traverse(newFiles)(f =>
+        Future(f -> parquetRowCount(new Path(root, f.relPath)))),
+      Duration.Inf).toMap
     val rowsByBucket = newFiles.groupBy(_.bucket).map { case (b, fs0) =>
-      b -> fs0.map(f => parquetRowCount(new Path(root, f.relPath))).sum
+      b -> fs0.map(counts).sum
     }
     // lineageFn reads Observation results — only valid after the write
     // action above materialized the plan.
@@ -305,6 +314,35 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     } catch { case _: Throwable => -1L }
+  }
+
+  /** Time travel: read the table as of an older committed version (the
+    * snapshot log is immutable, so every version stays readable until its
+    * files are compacted away — the Spark-side analog of replaying the
+    * reference's staged batches).
+    */
+  def readVersion(spark: SparkSession, version: Long,
+      includeTombstones: Boolean = false): DataFrame = {
+    val df = readFiles(spark, readSnapshot(version), None)
+    if (includeTombstones) df else df.filter(col("_op") =!= 2)
+  }
+
+  /** Maintenance commit: rewrite every bucket, dropping delete tombstones
+    * at or below `horizonLsn` (safe once the source can no longer replay
+    * below that lsn) and coalescing each bucket's files. Bounds both
+    * tombstone growth and small-file count — the COW equivalent of the
+    * reference's raw-table DELETE-after-normalize
+    * (reference: src/connectors/sinks/postgres/normalizer.rs:169-216).
+    */
+  def compact(spark: SparkSession, horizonLsn: Long): Snapshot = {
+    val snap = snapshot()
+    val all = snap.files.map(_.bucket).toSet
+    if (all.isEmpty) return snap
+    val kept = readFiles(spark, snap, Some(all))
+      .filter(!(col("_op") === 2 && col("_lsn") <= horizonLsn))
+    commitRewrite(spark, snap, all, kept, snap.batchId,
+      endLsn = snap.endLsn,
+      lineage = LineageEntry(snap.batchId, -1, -1, 0, 0, 0, 0, Map.empty))
   }
 
   /** Lineage/metrics as a DataFrame (derived from the snapshot log — always

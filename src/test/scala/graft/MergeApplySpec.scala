@@ -168,6 +168,28 @@ class MergeApplySpec extends SparkSpec {
     assert(liveState(lake2).head.tool == null)
   }
 
+  test("compaction drops old tombstones and preserves live state; time travel") {
+    val b1 = Seq(ev(2, Op.Insert, "c1", 0, text = "a"),
+      ev(4, Op.Insert, "c1", 1, text = "b"))
+    val b2 = Seq(ev(6, Op.Delete, "c1", 1))
+    val lake = newLake(4)
+    applyAll(lake, Seq(b1, b2))
+    val beforeVersion = lake.snapshot().version
+    val live = liveState(lake)
+    assert(lake.read(spark, includeTombstones = true).count() == 2) // 1 live + 1 tomb
+    lake.compact(spark, horizonLsn = 6)
+    assert(lake.read(spark, includeTombstones = true).count() == 1) // tomb GC'd
+    assert(liveState(lake) == live) // live state unchanged
+    // time travel: pre-compaction version still readable
+    assert(lake.readVersion(spark, beforeVersion, includeTombstones = true)
+      .count() == 2)
+    // a tombstone above the horizon survives compaction
+    val lake2 = newLake(4)
+    applyAll(lake2, Seq(b1, b2))
+    lake2.compact(spark, horizonLsn = 5)
+    assert(lake2.read(spark, includeTombstones = true).count() == 2)
+  }
+
   test("lineage records counts and offsets per commit") {
     val b1 = Seq(ev(2, Op.Insert, "c1", 0, text = "a"),
       ev(4, Op.Insert, "c1", 1, text = "b"))
