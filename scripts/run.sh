@@ -12,7 +12,9 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS \
+# Throughput GC by default: G1's concurrent cycles cost ~2.6x wall on this
+# allocation-heavy workload (measured in BENCH.md); override via JAVA_EXTRA.
+exec java $OPENS ${JAVA_EXTRA:--XX:+UseParallelGC} \
   -Xmx"${SPARK_DRIVER_MEM:-16g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \

@@ -34,10 +34,11 @@ object ScalingBench {
     val buckets = opt.getOrElse("--buckets", "64").toInt
     val workBase = opt.getOrElse("--work", "/tmp/graft-scaling")
 
+    val shuffle = opt.getOrElse("--shuffle", cpus.toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", shuffle.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // segments are written with 16MB row groups — map them to input splits

@@ -36,6 +36,7 @@ object SparkEntry {
     "dedup_minhash_lsh_pairs" -> (DataOps.minhashLshPairs(_, _)),
     "dedup_ngram_jaccard" -> (DataOps.ngramJaccard(_, _)),
     "dedup_simhash" -> (DataOps.simhash(_, _)),
+    "dedup_embedding_neardup" -> (DataOps.embeddingNearDup(_, _)),
     "sim_dot_topk" -> (DataOps.dotTopK(_, _)),
     "sim_ann_ivf" -> (DataOps.annIvf(_, _)),
     "text_langid" -> (DataOps.langId(_, _)),

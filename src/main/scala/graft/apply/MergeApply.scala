@@ -51,10 +51,23 @@ object MergeApply {
     val snap = lake.snapshot()
     if (batchId <= snap.batchId) return snap // replayed batch → no-op
 
-    // ---- 1. schema reconciliation (ddl rows + physical-type widenings) ----
-    val ddlRows = batch.filter(col("op") === Op.SchemaChange)
-      .select("lsn", "ddl").collect()
+    // ---- 0. single pre-scan: ddl rows + touched buckets + source stats ----
+    // one aggregation job instead of three separate scans of the batch
+    // (ddl collect, bucket distinct, observe min/max/count)
+    val pre = batch.select(
+      collect_list(when(col("op") === Op.SchemaChange,
+        struct(col("lsn"), col("ddl")))).as("ddls"),
+      collect_set(when(col("op") < Op.SchemaChange,
+        lake.bucketExpr(snap.numBuckets))).as("buckets"),
+      count(when(col("op") < Op.SchemaChange, 1)).as("events"),
+      min(when(col("op") < Op.SchemaChange, col("lsn"))).as("start_lsn"),
+      max(when(col("op") < Op.SchemaChange, col("lsn"))).as("end_lsn"))
+      .head()
+    val ddlRows = pre.getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getLong(0), parseDdl(r.getString(1)))).sortBy(_._1)
+    val touched = pre.getSeq[Int](1).toSet
+    val startLsn = if (pre.isNullAt(3)) -1L else pre.getLong(3)
+    val endLsn = if (pre.isNullAt(4)) -1L else pre.getLong(4)
     val tableSchema = snap.schema
     val declared = StructType(tableSchema.fields.filterNot(f => audit.contains(f.name)))
 
@@ -87,26 +100,14 @@ object MergeApply {
       else df.withColumn(c, lit(null).cast(target))
     }.withColumn("turn_idx", col("turn_idx").cast(merged("turn_idx").dataType))
 
-    val srcObs = Observation()
-    val observed = data.observe(srcObs,
-      count(lit(1)).as("events"),
-      min(col("lsn")).as("start_lsn"), max(col("lsn")).as("end_lsn"))
     // No explicit dropDuplicates here: the LWW reduce is idempotent under
     // duplicated rows (same lsn ⇒ identical row ⇒ same max_by winner), so an
     // extra shuffle on lsn would buy nothing. Cross-batch redelivery is
     // handled by the streaming dropDuplicatesWithinWatermark stage, the
     // batchId guard, and the per-row _lsn guard (defense in depth).
-    val ups = Dedup.lwwReduce(observed, payload, addLsn)
+    val ups = Dedup.lwwReduce(data, payload, addLsn)
 
     {
-      // Touched-bucket discovery runs on the RAW batch (cheap distinct of a
-      // derived int), NOT on the reduced updates — avoids materializing and
-      // caching the wide LWW output just to learn its buckets; the reduce
-      // then streams straight into the MERGE join in a single pass.
-      val touched = data
-        .select(lake.bucketExpr(snap.numBuckets).as("b")).distinct()
-        .collect().map(_.getInt(0)).toSet
-
       if (touched.isEmpty) {
         // heartbeat / ddl-only batch: still advance batchId + schema
         // (reference T9: no-op batches advance lineage, record.rs:38-40)
@@ -166,11 +167,8 @@ object MergeApply {
         newSchema = if (plan.changed) Some(merged) else None,
         newColAdds = newColAdds,
         lineageFn = Some { () =>
-          val s = srcObs.get
           val m = mergeObs.get
-          val start = Option(s("start_lsn")).map(_.asInstanceOf[Long]).getOrElse(-1L)
-          val end = Option(s("end_lsn")).map(_.asInstanceOf[Long]).getOrElse(-1L)
-          LineageEntry(batchId, start, end,
+          LineageEntry(batchId, startLsn, endLsn,
             m("ins").asInstanceOf[Long], m("upd").asInstanceOf[Long],
             m("del").asInstanceOf[Long],
             System.currentTimeMillis() - t0, Map.empty)

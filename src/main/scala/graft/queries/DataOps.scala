@@ -236,6 +236,40 @@ object DataOps {
       .limit(20)
   }
 
+  /** Embedding-cosine near-duplicate detection, scale path: random-
+    * hyperplane sign-LSH (16 deterministic pseudo-hyperplanes from the
+    * dimension index) buckets candidates, then exact integer-dot cosine²
+    * verifies within buckets — candidate generation is an equi-join on the
+    * band, never an O(n²) cross join. Spark-only (float thresholding) →
+    * rows-only driver check.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(spark, sfDir)
+    // sign bit b_k = sign(sum_i v[i] * h(k, i)); h = deterministic ±1 from
+    // (k * 131 + i) — a fixed pseudo-random hyperplane, same for every row
+    val sig = q.withColumn("band", expr(
+      (0 until 16).map { k =>
+        s"(CASE WHEN aggregate(zip_with(q, transform(sequence(0, size(q)-1), " +
+          s"i -> CAST(1 - 2 * (hash(${k * 131} + i) & 1) AS BIGINT)), " +
+          s"(a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0 " +
+          s"THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ")))
+    val a = sig.select(col("vec_id").as("id_a"), col("q").as("qa"), col("band"))
+    val b = sig.select(col("vec_id").as("id_b"), col("q").as("qb"), col("band"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("na2", expr(
+        "aggregate(transform(qa, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("nb2", expr(
+        "aggregate(transform(qb, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      // cosine² ≥ 0.8² without any float sqrt: dot² * 10000 ≥ 6400 * na² * nb²
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 10000 >= lit(6400) * col("na2") * col("nb2"))
+      .select("id_a", "id_b", "dot")
+      .orderBy("id_a", "id_b")
+  }
+
   // ------------------------------------------------------ text analysis
 
   private def occurrences(textCol: String, needle: String) = {
