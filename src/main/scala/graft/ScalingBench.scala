@@ -46,6 +46,12 @@ object ScalingBench {
       // shuffle/spill files follow the work dir (tmpfs when benchmarking —
       // isolates compute scaling from the single local disk)
       .config("spark.local.dir", s"$workBase/spark-local")
+      // Spark 4.1's ChecksumCheckpointFileManager blocks every state-store
+      // file create on a per-file checksum future (thread-dump verified:
+      // all task workers parked in ChecksumCheckpointFileManager.awaitResult)
+      // — disable for the local-FS checkpoint; the lake commit protocol has
+      // its own integrity (atomic rename + manifest)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
