@@ -52,6 +52,10 @@ object ScalingBench {
       // — disable for the local-FS checkpoint; the lake commit protocol has
       // its own integrity (atomic rename + manifest)
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // survive long stop-the-world GC pauses in local mode (a 2-min full GC
+      // once tripped the 120 s executor heartbeat and killed the stream)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
