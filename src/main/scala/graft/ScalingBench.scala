@@ -56,6 +56,13 @@ object ScalingBench {
       // once tripped the 120 s executor heartbeat and killed the stream)
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
+      // --rocksdb: executor-local state store (the cluster-scale choice) vs
+      // the default HDFS-backed provider
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (args.contains("--rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

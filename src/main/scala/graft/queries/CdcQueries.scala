@@ -145,7 +145,10 @@ object CdcQueries {
   def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
     val env = envelope(spark, sfDir)
       .withColumn("ddl", lit(null).cast("string"))
-    val dir = Files.createTempDirectory("graft-e2e").toString
+    val base = new java.io.File("/dev/shm")
+    val dir = (if (base.isDirectory && base.canWrite)
+      Files.createTempDirectory(base.toPath, "graft-e2e")
+    else Files.createTempDirectory("graft-e2e")).toString
     val lake = LakeTable(spark, dir)
     lake.create(Schemas.transcript, 16)
     val maxLsn = env.agg(max("lsn")).head().getLong(0)
