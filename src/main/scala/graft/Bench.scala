@@ -21,7 +21,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Belt and braces for the driver: also persist the line as a file (sbt
+    // log prefixes made round 1's BENCH_r01.json `parsed: null`).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json)
     spark.stop()
   }
 }

@@ -55,9 +55,12 @@ object CdcRunner {
     val lakeDir = s"$work/lake"
     val ckptDir = s"$work/checkpoint"
 
+    // add `tool` ~25% in; force odd parity (ddl lsns are odd by convention,
+    // and 2*c*e/4+1 is only odd when (c*e)/2 is even)
+    val quarterCut = 2L * convs * epc / 4
     val cfg = GenConfig(numConvs = convs, eventsPerConv = epc,
       hotConvs = hot, hotFactor = hotFactor,
-      addToolAtLsn = Some(2L * convs * epc / 4 + 1)) // add `tool` 25% in
+      addToolAtLsn = Some(quarterCut - quarterCut % 2 + 1))
     if (!fs.exists(new org.apache.hadoop.fs.Path(binlogDir))) {
       println(s"[cdc] generating ${cfg.totalEvents} events -> $binlogDir")
       BinlogGen.writeSegments(spark,

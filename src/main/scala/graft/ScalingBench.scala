@@ -67,9 +67,11 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // odd-parity ddl lsn (see CdcRunner: 2*c*e/4+1 is not always odd)
+    val quarterCut = 2L * convs * epc / 4
     val cfg = GenConfig(numConvs = convs, eventsPerConv = epc,
       hotConvs = hot, hotFactor = hotFactor,
-      addToolAtLsn = Some(2L * convs * epc / 4 + 1))
+      addToolAtLsn = Some(quarterCut - quarterCut % 2 + 1))
     val events = cfg.totalEvents
     val binlogDir = s"$workBase/binlog-c$convs-e$epc-s$segments"
     val fs = new org.apache.hadoop.fs.Path(workBase)

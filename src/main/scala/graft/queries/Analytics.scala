@@ -26,10 +26,10 @@ object Analytics {
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
-      |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c,
-      |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
-      |      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS sum_disc_price_c2,
+      |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS sum_disc_price_c2,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -56,8 +56,8 @@ object Analytics {
 
   val q3JoinSql: String =
     """SELECT o_orderkey,
-      |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
-      |      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_c2,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c2,
       |  count(*) AS lines
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -86,8 +86,8 @@ object Analytics {
   val userWindowSql: String =
     """SELECT user_id, event_id, event_type,
       |  row_number() OVER w AS rn,
-      |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
-      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value_c,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_value_c,
       |  lag(event_type, 1) OVER w AS prev_type
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)

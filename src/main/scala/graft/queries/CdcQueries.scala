@@ -213,9 +213,9 @@ object CdcQueries {
     envelopeSql +
       """
         |SELECT conv_id, count(*) AS events,
-        |  sum(CASE WHEN op = 0 THEN 1 ELSE 0 END) AS inserts,
-        |  sum(CASE WHEN op = 1 THEN 1 ELSE 0 END) AS updates,
-        |  sum(CASE WHEN op = 2 THEN 1 ELSE 0 END) AS deletes,
+        |  CAST(sum(CASE WHEN op = 0 THEN 1 ELSE 0 END) AS BIGINT) AS inserts,
+        |  CAST(sum(CASE WHEN op = 1 THEN 1 ELSE 0 END) AS BIGINT) AS updates,
+        |  CAST(sum(CASE WHEN op = 2 THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
         |  min(lsn) AS start_lsn, max(lsn) AS end_lsn
         |FROM env GROUP BY conv_id ORDER BY conv_id""".stripMargin
 

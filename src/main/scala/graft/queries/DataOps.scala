@@ -200,7 +200,7 @@ object DataOps {
       |  FROM (SELECT vec_id, label, embedding,
       |          unnest(generate_series(1, len(embedding))) AS i
       |        FROM embeddings))
-      |SELECT vec_id, label, sum(ex * qx) AS dot
+      |SELECT vec_id, label, CAST(sum(ex * qx) AS BIGINT) AS dot
       |FROM ev JOIN qv USING (i)
       |GROUP BY vec_id, label
       |ORDER BY dot DESC, vec_id LIMIT 20""".stripMargin
