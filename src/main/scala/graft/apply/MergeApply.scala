@@ -53,15 +53,21 @@ object MergeApply {
 
     // ---- 0. single pre-scan: ddl rows + touched buckets + source stats ----
     // one aggregation job instead of three separate scans of the batch
-    // (ddl collect, bucket distinct, observe min/max/count)
+    // (ddl collect, bucket distinct, observe min/max/count).
+    // `isData` embeds the per-event stale guard (reference should_emit,
+    // src/control/state.rs:375-395): an event at or below the table's
+    // applied position — an at-least-once redelivery that outlived the
+    // dedup watermark — must not reach the LWW reduce, where it could
+    // resurrect a column value a fresher same-batch event didn't carry.
+    val isData = col("op") < Op.SchemaChange && col("lsn") > snap.endLsn
     val pre = batch.select(
       collect_list(when(col("op") === Op.SchemaChange,
         struct(col("lsn"), col("ddl")))).as("ddls"),
-      collect_set(when(col("op") < Op.SchemaChange,
+      collect_set(when(isData,
         lake.bucketExpr(snap.numBuckets))).as("buckets"),
-      count(when(col("op") < Op.SchemaChange, 1)).as("events"),
-      min(when(col("op") < Op.SchemaChange, col("lsn"))).as("start_lsn"),
-      max(when(col("op") < Op.SchemaChange, col("lsn"))).as("end_lsn"))
+      count(when(isData, 1)).as("events"),
+      min(when(isData, col("lsn"))).as("start_lsn"),
+      max(when(isData, col("lsn"))).as("end_lsn"))
       .head()
     val ddlRows = pre.getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getLong(0), parseDdl(r.getString(1)))).sortBy(_._1)
@@ -92,7 +98,7 @@ object MergeApply {
     val addLsn = snap.colAddLsn ++ newColAdds
 
     // ---- 2. dedup + LWW reduce ----
-    val data0 = batch.filter(col("op") < Op.SchemaChange)
+    val data0 = batch.filter(isData)
     // ensure every declared payload column exists physically, with merged type
     val data = payload.foldLeft(data0) { (df, c) =>
       val target = merged(c).dataType
@@ -104,77 +110,95 @@ object MergeApply {
     // duplicated rows (same lsn ⇒ identical row ⇒ same max_by winner), so an
     // extra shuffle on lsn would buy nothing. Cross-batch redelivery is
     // handled by the streaming dropDuplicatesWithinWatermark stage, the
-    // batchId guard, and the per-row _lsn guard (defense in depth).
+    // batchId guard, the per-event `lsn > snap.endLsn` filter in `isData`,
+    // and the per-key _lsn guard in the MERGE (defense in depth).
     val ups = Dedup.lwwReduce(data, payload, addLsn)
 
-    {
-      if (touched.isEmpty) {
-        // heartbeat / ddl-only batch: still advance batchId + schema
-        // (reference T9: no-op batches advance lineage, record.rs:38-40)
-        return lake.commitEmpty(snap, batchId,
-          if (plan.changed) Some(merged) else None, newColAdds)
-      }
-
-      // ---- 3. partition-pruned COW MERGE ----
-      val target = lake.readBuckets(spark, snap, touched, Some(merged))
-      val t = target.as("t")
-      val u = ups.as("u")
-      val cond = Schemas.keys.map(k => t(k) === u(k)).reduce(_ && _)
-      val joined = t.join(u, cond, "full_outer")
-
-      val uExists = u("lsn").isNotNull
-      val tExists = t("_lsn").isNotNull
-      val tLive = tExists && t("_op") =!= Op.Delete
-      val stale = uExists && tExists && u("lsn") <= t("_lsn")
-      val fresh = uExists && !stale
-      val isDel = u("op") === Op.Delete
-
-      // DELETE keeps a tombstone row (_op=2, payload nulled): its _lsn guard
-      // protects against a late lower-lsn INSERT resurrecting the key.
-      // Live reads filter tombstones out (LakeTable.read); compaction can GC
-      // them once the source can no longer replay below their lsn.
-      val rowClass = when(!uExists, lit("kept"))
-        .when(stale, lit("stale"))
-        .when(isDel && tLive, lit("deleted"))
-        .when(isDel, lit("del_miss"))
-        .when(tLive, lit("updated"))
-        .otherwise(lit("inserted"))
-
-      val mergeObs = Observation()
-      val classified = joined
-        .withColumn("_class", rowClass)
-        .observe(mergeObs,
-          sum(when(col("_class") === "inserted", 1L).otherwise(0L)).as("ins"),
-          sum(when(col("_class") === "updated", 1L).otherwise(0L)).as("upd"),
-          sum(when(col("_class") === "deleted", 1L).otherwise(0L)).as("del"))
-
-      val keyCols = Schemas.keys.map(k =>
-        coalesce(u(k), t(k)).cast(merged(k).dataType).as(k))
-      val payloadCols = payload.map { c =>
-        when(fresh && isDel, lit(null))
-          .when(fresh, when(u(s"${c}__carried"), u(c)).otherwise(t(c)))
-          .otherwise(t(c)).cast(merged(c).dataType).as(c)
-      }
-      val auditCols = Seq(
-        when(fresh, u("lsn")).otherwise(t("_lsn")).as("_lsn"),
-        when(fresh, u("op")).otherwise(t("_op")).as("_op"))
-
-      val result = classified.select(keyCols ++ payloadCols ++ auditCols: _*)
-
-      val newSnap = lake.commitRewrite(spark, snap, touched, result, batchId,
-        endLsn = -1L, // filled from observation below via lineage
-        lineage = LineageEntry(batchId, 0, 0, 0, 0, 0, 0, Map.empty),
-        newSchema = if (plan.changed) Some(merged) else None,
-        newColAdds = newColAdds,
-        lineageFn = Some { () =>
-          val m = mergeObs.get
-          LineageEntry(batchId, startLsn, endLsn,
-            m("ins").asInstanceOf[Long], m("upd").asInstanceOf[Long],
-            m("del").asInstanceOf[Long],
-            System.currentTimeMillis() - t0, Map.empty)
-        })
-      newSnap
+    if (touched.isEmpty) {
+      // heartbeat / ddl-only batch: still advance batchId + schema
+      // (reference T9: no-op batches advance lineage, record.rs:38-40)
+      return lake.commitEmpty(snap, batchId,
+        if (plan.changed) Some(merged) else None, newColAdds)
     }
+
+    // ---- 3. partition-pruned COW MERGE ----
+    val (result, mergeObs) = mergeRows(spark, lake, snap, ups, touched,
+      merged, payload)
+    lake.commitRewrite(spark, snap, touched, result, batchId,
+      endLsn = -1L, // filled from observation below via lineage
+      lineage = LineageEntry(batchId, 0, 0, 0, 0, 0, 0, Map.empty),
+      newSchema = if (plan.changed) Some(merged) else None,
+      newColAdds = newColAdds,
+      lineageFn = Some { () =>
+        val m = mergeObs.get
+        LineageEntry(batchId, startLsn, endLsn,
+          m("ins").asInstanceOf[Long], m("upd").asInstanceOf[Long],
+          m("del").asInstanceOf[Long],
+          System.currentTimeMillis() - t0, Map.empty)
+      })
+  }
+
+  /** The COW MERGE core: full-outer join `ups` (one row per key: lsn, op,
+    * payload values + `<c>__carried` flags) against the touched buckets of
+    * `snap`, apply the per-row LWW / late-event guard, and return the new
+    * contents of those buckets plus an Observation exposing ins/upd/del
+    * counts after materialization. Shared by the streaming apply and the
+    * concurrent-backfill chunk apply (reference: the generated MERGE of
+    * merge_generator.rs:128-189 + the chunk reconciliation of
+    * active_chunks.rs:74-330 collapse to this one dataflow).
+    */
+  private[graft] def mergeRows(
+      spark: SparkSession,
+      lake: LakeTable,
+      snap: Snapshot,
+      ups: DataFrame,
+      touched: Set[Int],
+      merged: StructType,
+      payload: Seq[String]): (DataFrame, Observation) = {
+    val target = lake.readBuckets(spark, snap, touched, Some(merged))
+    val t = target.as("t")
+    val u = ups.as("u")
+    val cond = Schemas.keys.map(k => t(k) === u(k)).reduce(_ && _)
+    val joined = t.join(u, cond, "full_outer")
+
+    val uExists = u("lsn").isNotNull
+    val tExists = t("_lsn").isNotNull
+    val tLive = tExists && t("_op") =!= Op.Delete
+    val stale = uExists && tExists && u("lsn") <= t("_lsn")
+    val fresh = uExists && !stale
+    val isDel = u("op") === Op.Delete
+
+    // DELETE keeps a tombstone row (_op=2, payload nulled): its _lsn guard
+    // protects against a late lower-lsn INSERT resurrecting the key.
+    // Live reads filter tombstones out (LakeTable.read); compaction can GC
+    // them once the source can no longer replay below their lsn.
+    val rowClass = when(!uExists, lit("kept"))
+      .when(stale, lit("stale"))
+      .when(isDel && tLive, lit("deleted"))
+      .when(isDel, lit("del_miss"))
+      .when(tLive, lit("updated"))
+      .otherwise(lit("inserted"))
+
+    val mergeObs = Observation()
+    val classified = joined
+      .withColumn("_class", rowClass)
+      .observe(mergeObs,
+        sum(when(col("_class") === "inserted", 1L).otherwise(0L)).as("ins"),
+        sum(when(col("_class") === "updated", 1L).otherwise(0L)).as("upd"),
+        sum(when(col("_class") === "deleted", 1L).otherwise(0L)).as("del"))
+
+    val keyCols = Schemas.keys.map(k =>
+      coalesce(u(k), t(k)).cast(merged(k).dataType).as(k))
+    val payloadCols = payload.map { c =>
+      when(fresh && isDel, lit(null))
+        .when(fresh, when(u(s"${c}__carried"), u(c)).otherwise(t(c)))
+        .otherwise(t(c)).cast(merged(c).dataType).as(c)
+    }
+    val auditCols = Seq(
+      when(fresh, u("lsn")).otherwise(t("_lsn")).as("_lsn"),
+      when(fresh, u("op")).otherwise(t("_op")).as("_op"))
+
+    (classified.select(keyCols ++ payloadCols ++ auditCols: _*), mergeObs)
   }
 
   /** Bulk seed/backfill: load an initial table state recording the stream

@@ -5,7 +5,7 @@ import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -41,8 +41,14 @@ case class Snapshot(
     schemas: Map[Int, StructType], // all schema versions ever committed
     colAddLsn: Map[String, Long],  // column -> lsn at which it joined the stream
     lineage: Option[LineageEntry],
-    files: Seq[DataFileEntry]) {
+    files: Seq[DataFileEntry],
+    // cumulative per-bucket row counts (incl. tombstones), maintained across
+    // COW commits from each write job's Observation — the A3 row-count
+    // estimate with zero file IO (reference: footer-count probe,
+    // src/engine/snapshot/chunker.rs:96-158)
+    bucketRowCounts: Map[Int, Long] = Map.empty) {
   def schema: StructType = schemas(schemaVersion)
+  def rowCount: Long = bucketRowCounts.values.sum
 }
 
 /** A from-scratch transactional lake table: hash-bucketed parquet data files
@@ -55,15 +61,17 @@ case class Snapshot(
   * Layout:
   * {{{
   *   <root>/_log/v%012d.meta     — snapshot log, one file per commit
-  *   <root>/data/b=<bucket>/vNNN-*.parquet
+  *   <root>/data/cNNN-<uuid>/_bucket=<b>/part-*.parquet   — one dir per commit
   * }}}
   *
   * Commit protocol (kill-safe at any point, mirroring the reference's
   * checkpoint-before-ack invariant, src/engine/replication/postgres.rs:86-125):
-  *   1. write data files under data/ with unique names (orphans from a
-  *      failed commit are invisible — no manifest references them);
-  *   2. write the snapshot meta to a temp name and atomically rename it to
-  *      v%012d.meta. Readers only ever see fully-committed versions.
+  *   1. write data files under a commit-unique directory (attempt-unique
+  *      names: orphans from a failed commit are invisible — no manifest
+  *      references them — and a retry can never collide with them);
+  *   2. write the snapshot meta to a temp name and rename it to v%012d.meta
+  *      with no-overwrite semantics. Readers only ever see fully-committed
+  *      versions.
   *
   * Scale path: the snapshot file holds the full file manifest — one manifest
   * line per data file. At 100 TB (~10^5-10^6 files) this stays a driver-side
@@ -188,22 +196,10 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     val schemas = newSchema.fold(base.schemas)(s => base.schemas + (sv -> s))
     val schema = schemas(sv)
 
-    val newFiles = writeDataFiles(spark, newData, schema, base.numBuckets,
-      touchedBuckets, sv, base.version + 1)
+    val (newFiles, rowsByBucket) = writeDataFiles(spark, newData, schema,
+      base.numBuckets, touchedBuckets, sv, base.version + 1)
 
     val carried = base.files.filterNot(f => touchedBuckets.contains(f.bucket))
-    // footer reads are metadata-only but IO-latency bound — do them in
-    // parallel on the driver (one open per new file)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val counts: Map[DataFileEntry, Long] = Await.result(
-      Future.traverse(newFiles)(f =>
-        Future(f -> parquetRowCount(new Path(root, f.relPath)))),
-      Duration.Inf).toMap
-    val rowsByBucket = newFiles.groupBy(_.bucket).map { case (b, fs0) =>
-      b -> fs0.map(counts).sum
-    }
     // lineageFn reads Observation results — only valid after the write
     // action above materialized the plan.
     val lin = lineageFn.map(_.apply()).getOrElse(lineage)
@@ -216,7 +212,9 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       schemas = schemas,
       colAddLsn = base.colAddLsn ++ newColAdds,
       lineage = Some(lin.copy(bucketRows = rowsByBucket)),
-      files = carried ++ newFiles)
+      files = carried ++ newFiles,
+      // COW: touched buckets' counts are replaced, untouched carry over
+      bucketRowCounts = (base.bucketRowCounts -- touchedBuckets) ++ rowsByBucket)
     writeSnapshot(next)
     next
   }
@@ -257,63 +255,72 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
   }
 
   /** Write `df` (rows of `schema` + any extra helper cols dropped here) as
-    * per-bucket parquet files; returns the new file entries. One shuffle,
-    * partitioned by bucket, so each task writes one bucket directory.
+    * per-bucket parquet files; returns the new file entries plus per-bucket
+    * row counts taken from the write job itself (an `Observation` — no
+    * driver-side footer re-reads). One shuffle, partitioned by bucket, so
+    * each task writes one bucket directory.
+    *
+    * Files land under a commit-unique directory and keep the final names
+    * Spark gave them — no driver rename pass (serial at 10^4-10^5 files, and
+    * a copy on object stores), and a crashed-then-retried commit can never
+    * collide with its own orphans (each attempt writes a fresh directory;
+    * orphans are invisible because no manifest references them).
     */
   private def writeDataFiles(
       spark: SparkSession, df: DataFrame, schema: StructType, numBuckets: Int,
-      touched: Set[Int], sv: Int, version: Long): Seq[DataFileEntry] = {
-    val tmp = new Path(root, s"_tmp/${UUID.randomUUID().toString}")
+      touched: Set[Int], sv: Int, version: Long)
+      : (Seq[DataFileEntry], Map[Int, Long]) = {
+    val dirName = f"c$version%012d-${UUID.randomUUID().toString.take(8)}"
+    val out = new Path(dataDir, dirName)
     val cols = schema.fieldNames.toSeq.map(col) :+
       bucketExpr(numBuckets).as("_bucket")
     val parts = math.max(1, math.min(touched.size,
       spark.sessionState.conf.numShufflePartitions))
+    val obs = Observation()
+    val perBucket = touched.toSeq.sorted.map(b =>
+      sum(when(col("_bucket") === b, 1L).otherwise(0L)).as(s"b$b"))
     df.select(cols: _*)
+      .observe(obs, count(lit(1)).as("total"), perBucket: _*)
       .repartition(parts, col("_bucket"))
       .write.partitionBy("_bucket").mode("overwrite")
-      .parquet(tmp.toString)
-    // move tmp/_bucket=<b>/part-*.parquet → data/b=<b>/v<version>-<i>.parquet
-    val out = scala.collection.mutable.ArrayBuffer[DataFileEntry]()
-    val bucketDirs = fs.listStatus(tmp).filter(_.isDirectory)
-    for (bd <- bucketDirs) {
+      .parquet(out.toString)
+    val rows = obs.get
+    val rowsByBucket = touched.toSeq.sorted
+      .map(b => b -> rows(s"b$b").asInstanceOf[Long])
+      .filter(_._2 > 0).toMap
+    val entries = fs.listStatus(out).filter(_.isDirectory).toSeq.flatMap { bd =>
       val b = bd.getPath.getName.stripPrefix("_bucket=").toInt
-      val dest = new Path(dataDir, s"b=$b")
-      fs.mkdirs(dest)
-      val files = fs.listStatus(bd.getPath)
-        .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
-      for ((f, i) <- files.zipWithIndex) {
-        val name = f"v$version%012d-$i%04d.parquet"
-        val to = new Path(dest, name)
-        require(fs.rename(f.getPath, to), s"rename failed: ${f.getPath} -> $to")
-        out += DataFileEntry(b, sv, s"data/b=$b/$name")
-      }
+      fs.listStatus(bd.getPath).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map(f => DataFileEntry(b, sv,
+          s"data/$dirName/${bd.getPath.getName}/${f.getPath.getName}"))
     }
-    fs.delete(tmp, true)
-    out.toSeq
+    (entries, rowsByBucket)
   }
 
-  /** Atomic snapshot commit: temp write + rename (step 2 of the protocol). */
+  /** Atomic snapshot commit (step 2 of the protocol): temp write, then a
+    * no-overwrite rename via FileContext (Options.Rename.NONE) — two racing
+    * committers cannot both succeed; the loser gets FileAlreadyExists
+    * instead of silently clobbering the winner's manifest. Single-writer is
+    * still the operating assumption (as in the reference daemon); this guard
+    * turns a violated assumption into a loud error, not lost commits.
+    */
   private def writeSnapshot(snap: Snapshot): Unit = {
     fs.mkdirs(logDir)
     val target = metaPath(snap.version)
-    require(!fs.exists(target), s"concurrent commit conflict at $target")
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID().toString}")
     val o = fs.create(tmp, true)
     try o.write(SnapshotCodec.encode(snap).getBytes(StandardCharsets.UTF_8))
     finally o.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(s"commit race: $target already exists")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hadoopConf)
+    try fc.rename(tmp, target) // default Options.Rename.NONE: fail if exists
+    catch {
+      case e: Throwable =>
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"commit race: $target already exists", e)
     }
-  }
-
-  /** Row count from the parquet footer — metadata-only, no data scan. */
-  private def parquetRowCount(p: Path): Long = {
-    try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    } catch { case _: Throwable => -1L }
   }
 
   /** Time travel: read the table as of an older committed version (the
@@ -387,6 +394,9 @@ object SnapshotCodec {
         b ++= s"bucketrows=$bk|$n\n"
       }
     }
+    s.bucketRowCounts.toSeq.sorted.foreach { case (bk, n) =>
+      b ++= s"brows=$bk|$n\n"
+    }
     s.files.sortBy(f => (f.bucket, f.relPath)).foreach { f =>
       b ++= s"file=${f.bucket}|${f.schemaVersion}|${f.relPath}\n"
     }
@@ -401,6 +411,7 @@ object SnapshotCodec {
     val files = scala.collection.mutable.ArrayBuffer[DataFileEntry]()
     var lin: Option[LineageEntry] = None
     val bucketRows = scala.collection.mutable.Map[Int, Long]()
+    val brows = scala.collection.mutable.Map[Int, Long]()
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       val (k, v) = (line.substring(0, i), line.substring(i + 1))
@@ -422,6 +433,8 @@ object SnapshotCodec {
             a(3).toLong, a(4).toLong, a(5).toLong, a(6).toLong, Map.empty))
         case "bucketrows" =>
           val Array(bk, n) = v.split('|'); bucketRows(bk.toInt) = n.toLong
+        case "brows" =>
+          val Array(bk, n) = v.split('|'); brows(bk.toInt) = n.toLong
         case "file" =>
           val a = v.split('|')
           files += DataFileEntry(a(0).toInt, a(1).toInt, a(2))
@@ -430,6 +443,7 @@ object SnapshotCodec {
     }
     Snapshot(version, batchId, schemaVersion, endLsn, numBuckets,
       schemas.toMap, colAdd.toMap,
-      lin.map(_.copy(bucketRows = bucketRows.toMap)), files.toSeq)
+      lin.map(_.copy(bucketRows = bucketRows.toMap)), files.toSeq,
+      brows.toMap)
   }
 }

@@ -146,9 +146,14 @@ object CdcQueries {
     val env = envelope(spark, sfDir)
       .withColumn("ddl", lit(null).cast("string"))
     val base = new java.io.File("/dev/shm")
-    val dir = (if (base.isDirectory && base.canWrite)
+    val dirPath = if (base.isDirectory && base.canWrite)
       Files.createTempDirectory(base.toPath, "graft-e2e")
-    else Files.createTempDirectory("graft-e2e")).toString
+    else Files.createTempDirectory("graft-e2e")
+    val dir = dirPath.toString
+    // tmpfs hygiene: reap the scratch table on JVM exit (repeated bench
+    // invocations would otherwise accumulate under /dev/shm)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(dirPath.toFile): Unit))
     val lake = LakeTable(spark, dir)
     lake.create(Schemas.transcript, 16)
     val maxLsn = env.agg(max("lsn")).head().getLong(0)
