@@ -30,6 +30,7 @@ object SparkEntry {
     "cdc_lineage_stats" -> (CdcQueries.lineageStats(_, _)),       // A4/A7
     "cdc_snapshot_chunks" -> (CdcQueries.snapshotChunks(_, _)),   // S8/A2
     "cdc_commit_boundaries" -> (CdcQueries.commitBoundaries(_, _)), // T4
+    "cdc_concurrent_backfill" -> (CdcQueries.concurrentBackfill(_, _)), // T7/J3
     // --- training-data pipeline ops ---
     "dedup_exact" -> (DataOps.dedupExact(_, _)),
     "dedup_minhash_sig" -> (DataOps.minhashSignatures(_, _)),
@@ -63,6 +64,7 @@ object SparkEntry {
     "cdc_lineage_stats" -> CdcQueries.lineageStatsSql,
     "cdc_snapshot_chunks" -> CdcQueries.snapshotChunksSql,
     "cdc_commit_boundaries" -> CdcQueries.commitBoundariesSql,
+    "cdc_concurrent_backfill" -> CdcQueries.concurrentBackfillSql,
     "dedup_exact" -> DataOps.dedupExactSql,
     "dedup_minhash_sig" -> DataOps.minhashSignaturesSql,
     "dedup_minhash_lsh_pairs" -> DataOps.minhashLshPairsSql,

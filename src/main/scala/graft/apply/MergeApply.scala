@@ -154,7 +154,8 @@ object MergeApply {
       ups: DataFrame,
       touched: Set[Int],
       merged: StructType,
-      payload: Seq[String]): (DataFrame, Observation) = {
+      payload: Seq[String],
+      chunkTieWins: Boolean = false): (DataFrame, Observation) = {
     val target = lake.readBuckets(spark, snap, touched, Some(merged))
     val t = target.as("t")
     val u = ups.as("u")
@@ -164,7 +165,11 @@ object MergeApply {
     val uExists = u("lsn").isNotNull
     val tExists = t("_lsn").isNotNull
     val tLive = tExists && t("_op") =!= Op.Delete
-    val stale = uExists && tExists && u("lsn") <= t("_lsn")
+    // Backfill chunk rows reflect the full source STATE at their lsn (LW),
+    // which dominates any target row applied at or before LW — ties go to
+    // the chunk. Stream events are point changes — ties go to the target.
+    val stale = uExists && tExists &&
+      (if (chunkTieWins) u("lsn") < t("_lsn") else u("lsn") <= t("_lsn"))
     val fresh = uExists && !stale
     val isDel = u("op") === Op.Delete
 

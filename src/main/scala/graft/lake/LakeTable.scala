@@ -46,7 +46,11 @@ case class Snapshot(
     // COW commits from each write job's Observation — the A3 row-count
     // estimate with zero file IO (reference: footer-count probe,
     // src/engine/snapshot/chunker.rs:96-158)
-    bucketRowCounts: Map[Int, Long] = Map.empty) {
+    bucketRowCounts: Map[Int, Long] = Map.empty,
+    // number of concurrent-backfill chunks completed (chunks finish in
+    // order), the resume cursor of the reference's chunk-state store
+    // (src/control/state.rs:200-310)
+    backfillDone: Int = 0) {
   def schema: StructType = schemas(schemaVersion)
   def rowCount: Long = bucketRowCounts.values.sum
 }
@@ -190,7 +194,8 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       lineage: LineageEntry,
       newSchema: Option[StructType] = None,
       newColAdds: Map[String, Long] = Map.empty,
-      lineageFn: Option[() => LineageEntry] = None): Snapshot = {
+      lineageFn: Option[() => LineageEntry] = None,
+      backfillDone: Option[Int] = None): Snapshot = {
 
     val sv = if (newSchema.isDefined) base.schemaVersion + 1 else base.schemaVersion
     val schemas = newSchema.fold(base.schemas)(s => base.schemas + (sv -> s))
@@ -214,7 +219,16 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       lineage = Some(lin.copy(bucketRows = rowsByBucket)),
       files = carried ++ newFiles,
       // COW: touched buckets' counts are replaced, untouched carry over
-      bucketRowCounts = (base.bucketRowCounts -- touchedBuckets) ++ rowsByBucket)
+      bucketRowCounts = (base.bucketRowCounts -- touchedBuckets) ++ rowsByBucket,
+      backfillDone = backfillDone.getOrElse(base.backfillDone))
+    writeSnapshot(next)
+    next
+  }
+
+  /** Backfill-progress-only commit (an empty chunk still completes). */
+  def commitBackfillProgress(base: Snapshot, done: Int): Snapshot = {
+    val next = base.copy(version = base.version + 1, backfillDone = done,
+      lineage = None)
     writeSnapshot(next)
     next
   }
@@ -384,6 +398,7 @@ object SnapshotCodec {
     b ++= s"schemaVersion=${s.schemaVersion}\n"
     b ++= s"endLsn=${s.endLsn}\n"
     b ++= s"numBuckets=${s.numBuckets}\n"
+    b ++= s"backfillDone=${s.backfillDone}\n"
     s.schemas.toSeq.sortBy(_._1).foreach { case (v, sch) =>
       b ++= s"schema=$v|${sch.json}\n"
     }
@@ -405,7 +420,7 @@ object SnapshotCodec {
 
   def decode(text: String): Snapshot = {
     var version = 0L; var batchId = -1L; var schemaVersion = 1
-    var endLsn = -1L; var numBuckets = 16
+    var endLsn = -1L; var numBuckets = 16; var backfillDone = 0
     val schemas = scala.collection.mutable.Map[Int, StructType]()
     val colAdd = scala.collection.mutable.Map[String, Long]()
     val files = scala.collection.mutable.ArrayBuffer[DataFileEntry]()
@@ -421,6 +436,7 @@ object SnapshotCodec {
         case "schemaVersion" => schemaVersion = v.toInt
         case "endLsn"        => endLsn = v.toLong
         case "numBuckets"    => numBuckets = v.toInt
+        case "backfillDone"  => backfillDone = v.toInt
         case "schema" =>
           val j = v.indexOf('|')
           schemas(v.substring(0, j).toInt) =
@@ -444,6 +460,6 @@ object SnapshotCodec {
     Snapshot(version, batchId, schemaVersion, endLsn, numBuckets,
       schemas.toMap, colAdd.toMap,
       lin.map(_.copy(bucketRows = bucketRows.toMap)), files.toSeq,
-      brows.toMap)
+      brows.toMap, backfillDone)
   }
 }

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.apply.MergeApply
+import graft.apply.{Backfill, MergeApply}
 import graft.lake.LakeTable
 import graft.model.Schemas
 
@@ -35,6 +35,11 @@ object Pipeline {
     * @param transportDedup enable the cross-batch stateful dedup stage
     *   (`dropDuplicatesWithinWatermark` keyed by the source offset) — state
     *   is GC'd by the event-time watermark, bounding it at 10^10-event scale.
+    * @param chunkSource when set, concurrent chunked backfill (reference T7):
+    *   after each micro-batch apply, up to `chunksPerBatch` pending snapshot
+    *   chunks are merged under the stream's current applied position as
+    *   their low watermark. Progress persists in the lake snapshot
+    *   (`backfillDone`), so a restart resumes at the next chunk.
     */
   def start(
       spark: SparkSession,
@@ -44,7 +49,9 @@ object Pipeline {
       maxFilesPerTrigger: Int = 1,
       availableNow: Boolean = true,
       transportDedup: Boolean = true,
-      watermarkDelay: String = "10 minutes"): StreamingQuery = {
+      watermarkDelay: String = "10 minutes",
+      chunkSource: Option[Backfill.ChunkSource] = None,
+      chunksPerBatch: Int = 1): StreamingQuery = {
     val src0 = spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -58,7 +65,15 @@ object Pipeline {
       .queryName("graft-cdc")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        MergeApply.applyBatch(batch.sparkSession, lake, batch, batchId)
+        val ss = batch.sparkSession
+        MergeApply.applyBatch(ss, lake, batch, batchId)
+        // interleaved concurrent backfill: chunks progress between stream
+        // batches (the reference's snapshot/stream scheduling,
+        // src/engine/mod.rs:199-254)
+        chunkSource.foreach { src =>
+          var n = 0
+          while (n < chunksPerBatch && Backfill.step(ss, lake, src)) n += 1
+        }
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow()
@@ -66,16 +81,25 @@ object Pipeline {
       .start()
   }
 
-  /** Run to completion over currently-available segments (drain). */
+  /** Run to completion over currently-available segments (drain). When a
+    * `chunkSource` is given, any backfill chunks still pending after the
+    * stream drains are completed before returning.
+    */
   def runAvailable(
       spark: SparkSession,
       binlogDir: String,
       lake: LakeTable,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 1,
-      transportDedup: Boolean = true): Unit = {
+      transportDedup: Boolean = true,
+      chunkSource: Option[Backfill.ChunkSource] = None,
+      chunksPerBatch: Int = 1): Unit = {
     val q = start(spark, binlogDir, lake, checkpointDir, maxFilesPerTrigger,
-      availableNow = true, transportDedup = transportDedup)
+      availableNow = true, transportDedup = transportDedup,
+      chunkSource = chunkSource, chunksPerBatch = chunksPerBatch)
     q.awaitTermination()
+    chunkSource.foreach { src =>
+      while (Backfill.step(spark, lake, src)) ()
+    }
   }
 }

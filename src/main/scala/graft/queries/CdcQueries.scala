@@ -142,18 +142,23 @@ object CdcQueries {
     * four lsn-ordered micro-batches) and return the live table — the oracle
     * is the plain SQL fold [[finalStateSql]]. Engine == declarative fold.
     */
+  /** Scratch dir for an engine-backed query, preferring tmpfs; reaped on
+    * JVM exit (repeated bench invocations must not accumulate).
+    */
+  private def scratchDir(prefix: String): String = {
+    val base = new java.io.File("/dev/shm")
+    val dirPath = if (base.isDirectory && base.canWrite)
+      Files.createTempDirectory(base.toPath, prefix)
+    else Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(dirPath.toFile): Unit))
+    dirPath.toString
+  }
+
   def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
     val env = envelope(spark, sfDir)
       .withColumn("ddl", lit(null).cast("string"))
-    val base = new java.io.File("/dev/shm")
-    val dirPath = if (base.isDirectory && base.canWrite)
-      Files.createTempDirectory(base.toPath, "graft-e2e")
-    else Files.createTempDirectory("graft-e2e")
-    val dir = dirPath.toString
-    // tmpfs hygiene: reap the scratch table on JVM exit (repeated bench
-    // invocations would otherwise accumulate under /dev/shm)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(dirPath.toFile): Unit))
+    val dir = scratchDir("graft-e2e")
     val lake = LakeTable(spark, dir)
     lake.create(Schemas.transcript, 16)
     val maxLsn = env.agg(max("lsn")).head().getLong(0)
@@ -169,6 +174,57 @@ object CdcQueries {
   }
 
   val pipelineE2eSql: String = finalStateSql
+
+  /** Concurrent chunked backfill (reference T7, DBLog-style): the table
+    * starts EMPTY, the live stream starts mid-log (lsn > cut), and the
+    * pre-cut state is backfilled in 4 key-range chunks interleaved with the
+    * stream's micro-batches — each chunk selected from the source at the
+    * stream's currently-applied position (its low watermark). The oracle is
+    * the plain full-log fold: chunk/stream reconciliation must lose or
+    * duplicate nothing. (Backfilled rows carry the chunk LW as `_lsn`, so
+    * the audit column is excluded from the comparison — text equality under
+    * stable key order is the north-rule invariant.)
+    */
+  def concurrentBackfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.apply.Backfill
+    val env = envelope(spark, sfDir)
+      .withColumn("ddl", lit(null).cast("string"))
+    val payloadTs = Seq("role", "text", "tool", "ts")
+    // the re-readable "source table": transcript state folded from all
+    // events at or below a position (what a live source select would see)
+    def sourceAt(pos: Long): DataFrame =
+      Dedup.lwwReduce(env.filter(col("lsn") <= pos), payloadTs)
+        .filter(col("op") =!= 2)
+    val dir = scratchDir("graft-backfill")
+    val lake = LakeTable(spark, dir)
+    lake.create(Schemas.transcript, 16)
+    val maxLsn = env.agg(max("lsn")).head().getLong(0)
+    val cut = maxLsn / 2
+    val bounds = Backfill.planChunkBounds(
+      sourceAt(cut).select("conv_id"), "conv_id", 4)
+    val src = new Backfill.ChunkSource {
+      def numChunks: Int = 4
+      def chunkRows(s: SparkSession, i: Int, lw: Long): DataFrame =
+        sourceAt(math.max(lw, cut))
+          .filter(Backfill.chunkPredicate(bounds, "conv_id", i))
+    }
+    val step = (maxLsn - cut) / 4 + 1
+    for (i <- 0 until 4) {
+      val b = env.filter(
+        col("lsn") > cut + i * step && col("lsn") <= cut + (i + 1) * step)
+      MergeApply.applyBatch(spark, lake, b, i.toLong)
+      Backfill.step(spark, lake, src)
+    }
+    lake.read(spark)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  val concurrentBackfillSql: String =
+    envelopeSql + lwwSql +
+      "\nSELECT conv_id, turn_idx, role, text, tool, ts_us FROM red " +
+      "WHERE op <> 2 ORDER BY conv_id, turn_idx"
 
   /** Schema reconciliation plan as data (reference E1/E2 diff policy). */
   def schemaReconcile(spark: SparkSession, sfDir: String): DataFrame = {
