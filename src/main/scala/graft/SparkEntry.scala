@@ -31,6 +31,7 @@ object SparkEntry {
     "cdc_snapshot_chunks" -> (CdcQueries.snapshotChunks(_, _)),   // S8/A2
     "cdc_commit_boundaries" -> (CdcQueries.commitBoundaries(_, _)), // T4
     "cdc_concurrent_backfill" -> (CdcQueries.concurrentBackfill(_, _)), // T7/J3
+    "cdc_multi_table" -> (CdcQueries.multiTable(_, _)), // P1 + TableRef routing
     // --- training-data pipeline ops ---
     "dedup_exact" -> (DataOps.dedupExact(_, _)),
     "dedup_minhash_sig" -> (DataOps.minhashSignatures(_, _)),
@@ -65,6 +66,7 @@ object SparkEntry {
     "cdc_snapshot_chunks" -> CdcQueries.snapshotChunksSql,
     "cdc_commit_boundaries" -> CdcQueries.commitBoundariesSql,
     "cdc_concurrent_backfill" -> CdcQueries.concurrentBackfillSql,
+    "cdc_multi_table" -> CdcQueries.multiTableSql,
     "dedup_exact" -> DataOps.dedupExactSql,
     "dedup_minhash_sig" -> DataOps.minhashSignaturesSql,
     "dedup_minhash_lsh_pairs" -> DataOps.minhashLshPairsSql,

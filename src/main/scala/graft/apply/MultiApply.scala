@@ -1,0 +1,46 @@
+package graft.apply
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeTable
+
+/** Multi-table routing: one change stream carrying rows for many
+  * destination tables, applied as one MERGE per table present in the batch
+  * (reference: `TableRef{schema,name}` on every record,
+  * src/core/record.rs:61-77, and the per-table normalizer fan-out,
+  * src/connectors/sinks/postgres/normalizer.rs:231-240).
+  *
+  * Events for tables without a registered lake are dropped — the reference's
+  * tracked-table filter (P1, src/pipeline/mod.rs:83-99) — and surfaced via
+  * the returned skip count rather than failing the stream.
+  */
+object MultiApply {
+
+  /** Apply one micro-batch to every routed lake. Returns the number of
+    * events skipped because their table is untracked. The batch must carry
+    * a `table` column; each lake keeps its own batchId guard, so replaying
+    * a batch is a per-table no-op exactly as in the single-table path.
+    */
+  def applyBatch(
+      spark: SparkSession,
+      lakes: Map[String, LakeTable],
+      batch: DataFrame,
+      batchId: Long): Long = {
+    // one pre-scan: destination tables present + untracked-event count
+    // (reference A5: DISTINCT dst tables per flush)
+    val tracked = lakes.keySet
+    val pre = batch.select(
+      collect_set(col("table")).as("tables"),
+      count(when(!col("table").isInCollection(tracked), 1)).as("skipped"))
+      .head()
+    val present = pre.getSeq[String](0)
+    val skipped = pre.getLong(1)
+    // deterministic apply order; few tables relative to data, so the
+    // per-table filtered scans stay cheap next to the MERGE itself
+    for (t <- present.filter(tracked).sorted)
+      MergeApply.applyBatch(spark, lakes(t),
+        batch.filter(col("table") === t).drop("table"), batchId)
+    skipped
+  }
+}

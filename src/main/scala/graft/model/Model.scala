@@ -84,6 +84,13 @@ object Schemas {
     StructField("xid", LongType, nullable = true),
     StructField("ddl", StringType, nullable = true)))
 
+  /** Multi-table stream envelope: [[changeEvent]] plus the destination
+    * table (the reference's TableRef on every record,
+    * src/core/record.rs:61-77).
+    */
+  val changeEventMulti: StructType =
+    changeEvent.add(StructField("table", StringType, nullable = true))
+
   /** Initial lake-table schema (input_hint shape + audit columns). The
     * `tool` column may be absent at table creation when the stream
     * predates its `add:` ddl (schema-evolution fixture).

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.apply.{Backfill, MergeApply}
+import graft.apply.{Backfill, MergeApply, MultiApply}
 import graft.lake.LakeTable
 import graft.model.Schemas
 
@@ -74,6 +74,42 @@ object Pipeline {
           var n = 0
           while (n < chunksPerBatch && Backfill.step(ss, lake, src)) n += 1
         }
+        ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime("5 seconds"))
+      .start()
+  }
+
+  /** Multi-table variant of [[start]]: the stream carries a `table` column
+    * and each micro-batch fans out to one MERGE per tracked destination
+    * table (reference: per-table normalizer,
+    * src/connectors/sinks/postgres/normalizer.rs:231-240). Untracked tables
+    * are dropped (P1 tracked-table filter).
+    */
+  def startMulti(
+      spark: SparkSession,
+      binlogDir: String,
+      lakes: Map[String, LakeTable],
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1,
+      availableNow: Boolean = true,
+      transportDedup: Boolean = true,
+      watermarkDelay: String = "10 minutes"): StreamingQuery = {
+    val src0 = spark.readStream
+      .schema(Schemas.changeEventMulti)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(binlogDir)
+    val src =
+      if (transportDedup)
+        src0.withWatermark("ts", watermarkDelay)
+          .dropDuplicatesWithinWatermark("lsn")
+      else src0
+    src.writeStream
+      .queryName("graft-cdc-multi")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        MultiApply.applyBatch(batch.sparkSession, lakes, batch, batchId)
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow()

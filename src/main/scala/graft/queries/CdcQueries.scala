@@ -73,9 +73,11 @@ object CdcQueries {
   /** LWW reduction oracle clause (reference A1,
     * merge_generator.rs:98-113), with the reference's unchanged-column
     * rules: a column's winner is the last event that *carried* it.
+    * `from` parametrizes the source CTE (multi-table oracles fold a routed
+    * subset of env).
     */
-  val lwwSql: String =
-    """, red AS (
+  def lwwSqlFrom(from: String): String =
+    s""", red AS (
       |  SELECT conv_id, turn_idx,
       |    max(lsn) AS lsn,
       |    arg_max(struct_pack(v := op), lsn).v AS op,
@@ -86,8 +88,10 @@ object CdcQueries {
       |    arg_max(struct_pack(v := ts_us), lsn).v AS ts_us,
       |    max(CASE WHEN op <> 1 OR NOT text_unchanged THEN lsn END)
       |      IS NOT NULL AS text_carried
-      |  FROM env GROUP BY conv_id, turn_idx
+      |  FROM $from GROUP BY conv_id, turn_idx
       |)""".stripMargin
+
+  val lwwSql: String = lwwSqlFrom("env")
 
   private val payload = Seq("role", "text", "tool", "ts_us")
 
@@ -225,6 +229,58 @@ object CdcQueries {
     envelopeSql + lwwSql +
       "\nSELECT conv_id, turn_idx, role, text, tool, ts_us FROM red " +
       "WHERE op <> 2 ORDER BY conv_id, turn_idx"
+
+  /** Multi-table routing (reference TableRef per record + per-table
+    * normalizer, src/core/record.rs:61-77, normalizer.rs:231-240): one
+    * stream fans out to two tracked tables by a deterministic function of
+    * the key; a third of the convs route to an UNTRACKED table and must be
+    * dropped (P1 tracked-table filter) — the oracle folds only the tracked
+    * partitions.
+    */
+  def multiTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.apply.MultiApply
+    val convNum = substring(col("conv_id"), 6, 4).cast("int")
+    val env = envelope(spark, sfDir)
+      .withColumn("ddl", lit(null).cast("string"))
+      .withColumn("table",
+        when(convNum % 3 === 0, "alpha")
+          .when(convNum % 3 === 1, "beta")
+          .otherwise("ghost")) // untracked → dropped
+    val dir = scratchDir("graft-multi")
+    val lakes = Map(
+      "alpha" -> LakeTable(spark, s"$dir/alpha"),
+      "beta" -> LakeTable(spark, s"$dir/beta"))
+    lakes.values.foreach(_.create(Schemas.transcript, 8))
+    val maxLsn = env.agg(max("lsn")).head().getLong(0)
+    val step = math.max(1L, maxLsn / 3 + 1)
+    for (i <- 0 until 3) {
+      val b = env.filter(col("lsn") >= i * step && col("lsn") < (i + 1) * step)
+      MultiApply.applyBatch(spark, lakes, b, i.toLong)
+    }
+    lakes.toSeq.sortBy(_._1).map { case (name, lake) =>
+      lake.read(spark).withColumn("tbl", lit(name))
+    }.reduce(_ unionByName _)
+      .select(col("tbl"), col("conv_id"), col("turn_idx"), col("role"),
+        col("text"), col("tool"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("_lsn").as("lsn"))
+      .orderBy("tbl", "conv_id", "turn_idx")
+  }
+
+  val multiTableSql: String =
+    envelopeSql +
+      """, env2 AS (
+        |  SELECT *, CASE CAST(substr(conv_id, 6, 4) AS INT) % 3
+        |    WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta' ELSE 'ghost' END AS tbl
+        |  FROM env
+        |)""".stripMargin +
+      lwwSqlFrom("env2 WHERE tbl <> 'ghost'").replace(
+        "SELECT conv_id, turn_idx,",
+        "SELECT tbl, conv_id, turn_idx,").replace(
+        "GROUP BY conv_id, turn_idx",
+        "GROUP BY tbl, conv_id, turn_idx") +
+      "\nSELECT tbl, conv_id, turn_idx, role, text, tool, ts_us, lsn " +
+      "FROM red WHERE op <> 2 ORDER BY tbl, conv_id, turn_idx"
 
   /** Schema reconciliation plan as data (reference E1/E2 diff policy). */
   def schemaReconcile(spark: SparkSession, sfDir: String): DataFrame = {
