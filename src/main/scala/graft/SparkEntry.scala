@@ -51,9 +51,9 @@ object SparkEntry {
     "q3_join" -> (Analytics.q3Join(_, _)),
     "q_window" -> (Analytics.userWindow(_, _)))
 
-  /** DuckDB-equivalent SQL for every SQL-expressible query above. Omitted
-    * (rows-only driver check): dedup_simhash, sim_ann_ivf — their bit/float
-    * constructions have no cheap DuckDB-identical form.
+  /** DuckDB-equivalent SQL for EVERY query above — all constructions are
+    * integer/md5-exact cross-engine (bit algebra, quantized dot products,
+    * and the sign-LSH hyperplane matrix regenerate identically in DuckDB).
     */
   def oracleSql: Map[String, String] = Map(
     "cdc_envelope_convert" -> CdcQueries.envelopeConvertSql,
@@ -71,7 +71,10 @@ object SparkEntry {
     "dedup_minhash_sig" -> DataOps.minhashSignaturesSql,
     "dedup_minhash_lsh_pairs" -> DataOps.minhashLshPairsSql,
     "dedup_ngram_jaccard" -> DataOps.ngramJaccardSql,
+    "dedup_simhash" -> DataOps.simhashSql,
+    "dedup_embedding_neardup" -> DataOps.embeddingNearDupSql,
     "sim_dot_topk" -> DataOps.dotTopKSql,
+    "sim_ann_ivf" -> DataOps.annIvfSql,
     "text_langid" -> DataOps.langIdSql,
     "text_tokens" -> DataOps.textTokensSql,
     "text_quality" -> DataOps.textQualitySql,

@@ -56,93 +56,110 @@ object DataOps {
       |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents))
       |)""".stripMargin
 
-  /** MinHash signatures: 4 independent min-hashes over word 3-gram shingles
-    * (hash = md5 with a per-band salt — identical hex in any engine). At
-    * scale this is one map + one combinable min-aggregate per band.
+  /** MinHash signatures: 8 independent min-hashes over word 3-gram shingles
+    * (hash = md5 with a per-hash salt — identical hex in any engine). At
+    * scale this is one map + one combinable min-aggregate per hash.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     shingles(spark, sfDir)
       .groupBy("doc_id")
       .agg(
         min(md5(concat(lit("0|"), col("sh")))).as("s0"),
-        (1 until 4).map(k =>
+        (1 until 8).map(k =>
           min(md5(concat(lit(s"$k|"), col("sh")))).as(s"s$k")): _*)
       .orderBy("doc_id")
 
-  val minhashSignaturesSql: String =
-    shinglesSql +
-      """
-        |SELECT doc_id,
-        |  min(md5('0|' || sh)) AS s0, min(md5('1|' || sh)) AS s1,
-        |  min(md5('2|' || sh)) AS s2, min(md5('3|' || sh)) AS s3
-        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  private val sigSelectSql: String =
+    "SELECT doc_id,\n" +
+      (0 until 8).map(k => s"    min(md5('$k|' || sh)) AS s$k")
+        .mkString(",\n") +
+      "\n  FROM sh GROUP BY doc_id"
 
-  /** MinHash LSH candidate pairs: docs sharing any of the 4 bands (four
-    * equi-joins, NOT an OR-join — each is a shuffle/broadcast hash join, so
-    * the plan scales; an OR condition would force a nested-loop O(n²)).
+  val minhashSignaturesSql: String =
+    shinglesSql + "\n" + sigSelectSql + " ORDER BY doc_id"
+
+  /** MinHash LSH candidate pairs: 4 bands of r=2 rows (band value = the
+    * concatenated pair of min-hashes; P(candidate) = 1-(1-J²)⁴, so sharing
+    * a single min-shingle no longer floods the candidate set the way the
+    * old r=1 banding did). The plan is ONE exploded self-equi-join on
+    * (band_idx, band_value) — a shuffle hash join that scales, never an
+    * O(n²) OR-join — and the signature subtree is persisted so it is
+    * computed exactly once, not once per band.
     */
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = minhashSignatures(spark, sfDir)
-    val pairs = (0 until 4).map { k =>
-      val a = sig.select(col("doc_id").as("doc_a"), col(s"s$k").as("band"))
-      val b = sig.select(col("doc_id").as("doc_b"), col(s"s$k").as("band"))
-      a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-    }.reduce(_ unionAll _)
-    pairs.distinct().orderBy("doc_a", "doc_b")
+    val bands = minhashSignatures(spark, sfDir).select(
+      col("doc_id"),
+      explode(array((0 until 4).map(k => struct(
+        lit(k).as("k"),
+        concat(col(s"s${2 * k}"), col(s"s${2 * k + 1}")).as("v"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.k").as("k"), col("b.v").as("v"))
+      .persist()
+    val a = bands.select(col("doc_id").as("doc_a"), col("k"), col("v"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("k"), col("v"))
+    a.join(b, Seq("k", "v")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct().orderBy("doc_a", "doc_b")
   }
 
-  val minhashLshPairsSql: String =
-    shinglesSql + """,
-      |sig AS (
-      |  SELECT doc_id,
-      |    min(md5('0|' || sh)) AS s0, min(md5('1|' || sh)) AS s1,
-      |    min(md5('2|' || sh)) AS s2, min(md5('3|' || sh)) AS s3
-      |  FROM sh GROUP BY doc_id)
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      |  AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)
-      |ORDER BY doc_a, doc_b""".stripMargin
+  private val lshPairsCoreSql: String =
+    shinglesSql + ",\nsig AS (\n  " + sigSelectSql + """),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+      |    (a.s0 = b.s0 AND a.s1 = b.s1) OR (a.s2 = b.s2 AND a.s3 = b.s3) OR
+      |    (a.s4 = b.s4 AND a.s5 = b.s5) OR (a.s6 = b.s6 AND a.s7 = b.s7))
+      |)""".stripMargin
 
-  /** Exact n-gram Jaccard similarity (basis points) between consecutive doc
-    * pairs — the verify stage after LSH candidate generation. Integer
-    * arithmetic end-to-end (exact cross-engine).
+  val minhashLshPairsSql: String =
+    lshPairsCoreSql + "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"
+
+  /** Exact n-gram Jaccard similarity (basis points) over the LSH CANDIDATE
+    * pairs — the verify stage consuming [[minhashLshPairs]] output, as in a
+    * real dedup pipeline (candidates → exact check → keep/drop). Integer
+    * arithmetic end-to-end (exact cross-engine); the intersection join
+    * shuffles on (pair, shingle) — still an equi-join, never O(n²).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir)
+    val sh = shingles(spark, sfDir).persist()
+    val pairs = minhashLshPairs(spark, sfDir)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
+    val inter = pairs
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sh.as("b"),
-        col("b.doc_id") === col("a.doc_id") + 1 && col("b.sh") === col("a.sh"))
-      .groupBy(col("a.doc_id").as("doc_a"))
+        col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i"))
-    cnt.as("c1")
-      .join(cnt.as("c2"), col("c2.doc_id") === col("c1.doc_id") + 1)
-      .join(inter, col("doc_a") === col("c1.doc_id"), "left")
+    pairs
+      .join(cnt.as("c1"), col("doc_a") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("doc_b") === col("c2.doc_id"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
       .select(
-        col("c1.doc_id").as("doc_a"),
-        col("c2.doc_id").as("doc_b"),
+        col("doc_a"), col("doc_b"),
         expr("(coalesce(i, 0) * 10000) DIV (c1.n + c2.n - coalesce(i, 0))")
           .as("jaccard_bp"))
-      .orderBy("doc_a")
+      .orderBy("doc_a", "doc_b")
   }
 
   val ngramJaccardSql: String =
-    shinglesSql + """,
+    lshPairsCoreSql + """,
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
-      |  SELECT a.doc_id AS doc_a, count(*) AS i
-      |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND b.sh = a.sh
-      |  GROUP BY a.doc_id)
-      |SELECT c1.doc_id AS doc_a, c2.doc_id AS doc_b,
+      |  SELECT doc_a, doc_b, count(*) AS i
+      |  FROM cand
+      |  JOIN sh a ON a.doc_id = doc_a
+      |  JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
+      |  GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b,
       |  (coalesce(i, 0) * 10000) // (c1.n + c2.n - coalesce(i, 0)) AS jaccard_bp
-      |FROM cnt c1 JOIN cnt c2 ON c2.doc_id = c1.doc_id + 1
-      |LEFT JOIN inter ON inter.doc_a = c1.doc_id
-      |ORDER BY doc_a""".stripMargin
+      |FROM cand
+      |JOIN cnt c1 ON c1.doc_id = doc_a
+      |JOIN cnt c2 ON c2.doc_id = doc_b
+      |LEFT JOIN inter USING (doc_a, doc_b)
+      |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** SimHash (64-bit, word unigrams): per-bit majority vote over md5-derived
-    * word hashes. Spark-only construction (bit algebra has no cheap
-    * DuckDB-identical form) → rows-only driver check.
+  /** SimHash (60-bit, word unigrams): per-bit majority vote over md5-derived
+    * word hashes. The bit algebra is integer-exact, so the DuckDB oracle
+    * reconstructs the same hash by parsing md5 hex digits positionally.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val words = docs(spark, sfDir)
@@ -159,6 +176,34 @@ object DataOps {
     voted.select(col("doc_id"), sig.as("simhash60"))
       .withColumn("band", expr("simhash60 % 1024")) // LSH band for bucketing
       .orderBy("doc_id")
+  }
+
+  /** Same construction in DuckDB: h60 = positional parse of the first 15
+    * md5 hex digits (Σ digit(p)·16^(14-p) — what Spark's conv(,16,10)
+    * computes), then per-bit ±1 majority sums and bit reassembly.
+    */
+  val simhashSql: String = {
+    val h60 = (0 until 15).map { p =>
+      s"(strpos('0123456789abcdef', substr(md5(w), ${p + 1}, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (14 - p))} AS BIGINT)"
+    }.mkString(" + ")
+    val votes = (0 until 60).map(b =>
+      s"    sum(CASE WHEN (h60 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n")
+    val sig = (0 until 60).map(b =>
+      s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id, $h60 AS h60 FROM words),
+       |v AS (
+       |  SELECT doc_id,
+       |$votes
+       |  FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash60 FROM v)
+       |SELECT doc_id, simhash60, simhash60 % 1024 AS band
+       |FROM s ORDER BY doc_id""".stripMargin
   }
 
   // ------------------------------------------------- similarity search
@@ -208,18 +253,23 @@ object DataOps {
   /** IVF-style ANN: coarse quantizer = `label` clusters; probe the 3
     * centroids nearest the query, then brute-force only within probed
     * clusters (~70% of distance computations skipped at nprobe=3/10; the
-    * recall/cost trade of a classic IVF index). Spark-only (float centroid
-    * averages aren't cross-engine exact) → rows-only driver check.
+    * recall/cost trade of a classic IVF index). Centroid sums come from
+    * posexplode + per-(label, dim) aggregation — combinable scalar sums
+    * that never hold a cluster's vectors in one buffer (collect_list of
+    * whole vectors OOMs at millions of vectors per cluster); only the
+    * 64-element (dim, sum) pairs per label are reassembled. All-integer
+    * arithmetic → cross-engine exact, DuckDB oracle below.
     */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val q = quantized(spark, sfDir)
     val qv = q.filter(col("vec_id") === 0).select(col("q").as("qv"))
-    // centroids: per-label mean vector (kept integer: sum and count)
-    val cents = q.groupBy("label").agg(
-      expr("aggregate(collect_list(q), cast(array() as array<bigint>), " +
-        "(acc, v) -> CASE WHEN size(acc) = 0 THEN v ELSE zip_with(acc, v, (a, b) -> a + b) END)")
-        .as("sumv"),
-      count(lit(1)).as("n"))
+    val dimSums = q
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(sum("x").as("sx"))
+    val cents = dimSums.groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, sx))), s -> s.sx)")
+        .as("sumv"))
+      .join(q.groupBy("label").agg(count(lit(1)).as("n")), "label")
     val probed = cents.crossJoin(broadcast(qv))
       .select(col("label"),
         expr("aggregate(zip_with(sumv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) DIV n")
@@ -236,39 +286,158 @@ object DataOps {
       .limit(20)
   }
 
+  /** Same IVF probe in DuckDB. Spark's `DIV` truncates toward zero while
+    * DuckDB's `//` floors, so the centroid division emulates truncation
+    * explicitly (cdot can be negative).
+    */
+  val annIvfSql: String =
+    """WITH ev AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS ex
+      |  FROM (SELECT vec_id, label, embedding,
+      |          unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings)),
+      |qv AS (SELECT i, ex AS qx FROM ev WHERE vec_id = 0),
+      |n_by_label AS (
+      |  SELECT label, count(DISTINCT vec_id) AS n FROM ev GROUP BY label),
+      |dim_sums AS (
+      |  SELECT label, i, CAST(sum(ex) AS BIGINT) AS sx
+      |  FROM ev GROUP BY label, i),
+      |cent AS (
+      |  SELECT d.label, CAST(sum(sx * qx) AS BIGINT) AS cnum
+      |  FROM dim_sums d JOIN qv USING (i) GROUP BY d.label),
+      |probe AS (
+      |  SELECT c.label,
+      |    CASE WHEN cnum >= 0 THEN cnum // n ELSE -((-cnum) // n) END AS cdot
+      |  FROM cent c JOIN n_by_label USING (label)
+      |  ORDER BY cdot DESC, label LIMIT 3)
+      |SELECT vec_id, label, CAST(sum(ex * qx) AS BIGINT) AS dot
+      |FROM ev JOIN qv USING (i)
+      |WHERE label IN (SELECT label FROM probe)
+      |GROUP BY vec_id, label
+      |ORDER BY dot DESC, vec_id LIMIT 20""".stripMargin
+
+  /** The 64 sign-LSH hyperplanes (8 bands × 8 bits): entry (j, i) is ±1
+    * from the parity of the first md5 hex digit of "j|i" — reproducible in
+    * any engine that has md5, so the oracle derives the identical matrix.
+    */
+  private lazy val hyperplanes: Seq[Seq[Long]] = {
+    def sign(j: Int, i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j|$i".getBytes("UTF-8"))
+      if ((((d(0) >> 4) & 0xf) % 2) == 0) 1L else -1L
+    }
+    (0 until 64).map(j => (0 until 64).map(i => sign(j, i)))
+  }
+
   /** Embedding-cosine near-duplicate detection, scale path: random-
-    * hyperplane sign-LSH (16 deterministic pseudo-hyperplanes from the
-    * dimension index) buckets candidates, then exact integer-dot cosine²
-    * verifies within buckets — candidate generation is an equi-join on the
-    * band, never an O(n²) cross join. Spark-only (float thresholding) →
-    * rows-only driver check.
+    * hyperplane sign-LSH with 8 OR'd bands of 8 bits each (a single wide
+    * band has ~(1−θ/π)^bits recall — ≈4% at cos 0.8 for 16 bits; OR'ing
+    * bands restores it: 1−(1−p⁸)⁸ ≈ 0.94 at cos 0.9). Candidate
+    * generation is ONE exploded self-equi-join on (band_idx, band_value) —
+    * never an O(n²) cross join — then exact integer-dot cosine² verifies
+    * each candidate. With |q| ≤ ~1000 and dim 64, dot ≤ 6.6e7 and
+    * dot²·10⁴ ≤ 4.3e19… so the threshold compare is done in DECIMAL(38,0)
+    * to stay exact at any data scale (DuckDB widens to HUGEINT the same
+    * way).
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = quantized(spark, sfDir)
-    // sign bit b_k = sign(sum_i v[i] * h(k, i)); h = deterministic ±1 from
-    // (k * 131 + i) — a fixed pseudo-random hyperplane, same for every row
-    val sig = q.withColumn("band", expr(
-      (0 until 16).map { k =>
-        s"(CASE WHEN aggregate(zip_with(q, transform(sequence(0, size(q)-1), " +
-          s"i -> CAST(1 - 2 * (hash(${k * 131} + i) & 1) AS BIGINT)), " +
-          s"(a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0 " +
-          s"THEN ${1 << k} ELSE 0 END)"
-      }.mkString(" + ")))
-    val a = sig.select(col("vec_id").as("id_a"), col("q").as("qa"), col("band"))
-    val b = sig.select(col("vec_id").as("id_b"), col("q").as("qb"), col("band"))
-    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+    // The synthetic corpus has no true near-dups (max organic cosine ≈ 0.51),
+    // so every 10th vector gets a deterministic near-copy planted
+    // (id + 100000, integer perturbation in [-5, 5] on ~±500 components →
+    // cos ≈ 0.9999): the op must find exactly these pairs. The perturbation
+    // is integer arithmetic, so the oracle plants identical copies.
+    val q0 = quantized(spark, sfDir)
+    val planted = q0.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        expr("transform(q, (x, i) -> x + ((vec_id * 31 + i * 7) % 11) - 5)")
+          .as("q"))
+    val q = q0.unionByName(planted)
+    val hcol = typedLit(hyperplanes)
+    def bitDot(j: Int) =
+      s"aggregate(zip_with(q, H[$j], (a, h) -> a * h), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    val bandVal = (k: Int) => (0 until 8).map(b =>
+      s"(CASE WHEN ${bitDot(k * 8 + b)} >= 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
+    val bands = q.withColumn("H", hcol)
+      .select(col("vec_id"), col("q"),
+        explode(array((0 until 8).map(k =>
+          struct(lit(k).as("k"), expr(bandVal(k)).as("v"))): _*)).as("b"))
+      .select(col("vec_id"), col("q"), col("b.k").as("k"), col("b.v").as("v"))
+      .persist()
+    val a = bands.select(col("vec_id").as("id_a"), col("q").as("qa"),
+      col("k"), col("v"))
+    val b = bands.select(col("vec_id").as("id_b"), col("q").as("qb"),
+      col("k"), col("v"))
+    a.join(b, Seq("k", "v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("qa"), col("qb"))
+      .distinct() // a pair may collide in several bands
       .withColumn("dot", expr(
         "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .withColumn("na2", expr(
         "aggregate(transform(qa, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .withColumn("nb2", expr(
         "aggregate(transform(qb, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      // cosine² ≥ 0.8² without any float sqrt: dot² * 10000 ≥ 6400 * na² * nb²
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * 10000 >= lit(6400) * col("na2") * col("nb2"))
+      // cosine² ≥ 0.8² without any float sqrt: dot² · 10⁴ ≥ 6400 · na² · nb²
+      .filter(col("dot") > 0 && expr(
+        "CAST(dot AS DECIMAL(38,0)) * dot * 10000 >= " +
+          "CAST(6400 AS DECIMAL(38,0)) * na2 * nb2"))
       .select("id_a", "id_b", "dot")
       .orderBy("id_a", "id_b")
   }
+
+  /** Same construction in DuckDB: the hyperplane matrix regenerates from
+    * md5 parity, candidates from the banded self-join, verification in
+    * HUGEINT (exact, like Spark's DECIMAL(38,0)).
+    */
+  val embeddingNearDupSql: String =
+    """WITH ev0 AS (
+      |  SELECT vec_id, i - 1 AS i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS ex
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings)),
+      |ev AS (
+      |  SELECT * FROM ev0
+      |  UNION ALL
+      |  SELECT vec_id + 100000, i, ex + ((vec_id * 31 + i * 7) % 11) - 5
+      |  FROM ev0 WHERE vec_id % 10 = 0),
+      |hyp AS (
+      |  SELECT k, i,
+      |    CASE WHEN (strpos('0123456789abcdef',
+      |      substr(md5(CAST(k AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 1))
+      |      - 1) % 2 = 0 THEN 1 ELSE -1 END AS h
+      |  FROM (SELECT unnest(generate_series(0, 63)) AS k) ks,
+      |       (SELECT unnest(generate_series(0, 63)) AS i) "is"),
+      |sg AS (
+      |  SELECT vec_id, k // 8 AS band_k, k % 8 AS bit,
+      |    CAST(sum(ex * h) AS BIGINT) >= 0 AS pos
+      |  FROM ev JOIN hyp USING (i) GROUP BY vec_id, k),
+      |bv AS (
+      |  SELECT vec_id, band_k,
+      |    CAST(sum(CASE WHEN pos THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+      |      AS BIGINT) AS bval
+      |  FROM sg GROUP BY vec_id, band_k),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM bv a JOIN bv b
+      |    ON a.band_k = b.band_k AND a.bval = b.bval AND a.vec_id < b.vec_id),
+      |dots AS (
+      |  SELECT id_a, id_b, CAST(sum(ea.ex * eb.ex) AS BIGINT) AS dot
+      |  FROM cand
+      |  JOIN ev ea ON ea.vec_id = id_a
+      |  JOIN ev eb ON eb.vec_id = id_b AND eb.i = ea.i
+      |  GROUP BY id_a, id_b),
+      |nrm AS (SELECT vec_id, CAST(sum(ex * ex) AS BIGINT) AS n2
+      |        FROM ev GROUP BY vec_id)
+      |SELECT id_a, id_b, dot
+      |FROM dots
+      |JOIN nrm na ON na.vec_id = id_a
+      |JOIN nrm nb ON nb.vec_id = id_b
+      |WHERE dot > 0
+      |  AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(6400 AS HUGEINT) * na.n2 * nb.n2
+      |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------ text analysis
 

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.DataOps
+
+/** Quality checks for the banded (LSH) dedup paths: the candidate
+  * generation must actually FIND the near-duplicates the exact method
+  * finds — parameter choices (band size/count) are what recall lives or
+  * dies on at corpus scale, so it is asserted here, not assumed.
+  */
+class DataOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("sign-LSH near-dup recall vs brute force (8 bands x 8 bits)") {
+    val banded = DataOps.embeddingNearDup(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute force over the same (planted) corpus: all pairs with cos² ≥ 0.8²
+    val q0 = spark.read.parquet(s"$sf/embeddings.parquet").select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+        .as("q"))
+    val planted = q0.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(q, (x, i) -> x + ((vec_id * 31 + i * 7) % 11) - 5)")
+          .as("q"))
+    val all = q0.unionByName(planted)
+    val a = all.select(col("vec_id").as("id_a"), col("q").as("qa"))
+    val b = all.select(col("vec_id").as("id_b"), col("q").as("qb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("na2", expr(
+        "aggregate(transform(qa, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("nb2", expr(
+        "aggregate(transform(qb, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .filter(col("dot") > 0 && expr(
+        "CAST(dot AS DECIMAL(38,0)) * dot * 10000 >= CAST(6400 AS DECIMAL(38,0)) * na2 * nb2"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(brute.nonEmpty, "fixture must contain true near-dup pairs")
+    val recall = banded.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"banded recall $recall < 0.9 (found ${banded.size}, true ${brute.size})")
+    // banded output is verified exactly, so it can never exceed brute force
+    assert(banded.subsetOf(brute))
+  }
+
+  test("minhash LSH candidates feed the exact-Jaccard verify stage") {
+    val pairs = DataOps.minhashLshPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = DataOps.ngramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // verify stage scores exactly the candidate set, with sane values
+    assert(verified.map(v => (v._1, v._2)).toSet == pairs)
+    assert(verified.forall(v => v._3 >= 0 && v._3 <= 10000))
+  }
+}
