@@ -70,6 +70,12 @@ object CdcRunner {
     val lake = LakeTable(spark, lakeDir)
     if (lake.snapshotVersions().isEmpty)
       lake.create(Schemas.transcriptNoTool, buckets)
+    else {
+      // E6 startup reconcile: configured job schema vs stored lake schema
+      val acts = lake.ensureSchema(org.apache.spark.sql.types.StructType(
+        Schemas.transcriptNoTool.fields.filterNot(_.name.startsWith("_"))))
+      if (acts.nonEmpty) println(s"[cdc] startup schema reconcile: $acts")
+    }
 
     val t0 = System.nanoTime()
     Pipeline.runAvailable(spark, binlogDir, lake, ckptDir,

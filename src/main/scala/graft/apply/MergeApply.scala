@@ -92,6 +92,9 @@ object MergeApply {
       case _ => // add of an existing column: no-op
     }
     val plan = Reconcile(declared, incoming)
+    // E5 degraded mode: incompatible type changes keep the old type (the
+    // data casts below null what can't convert) and are COUNTED, not fatal
+    val skippedEvo = plan.actions.count(_.isInstanceOf[graft.schema.RejectChange]).toLong
     val merged = StructType(plan.merged.fields ++
       tableSchema.fields.filter(f => audit.contains(f.name)))
     val payload = Schemas.payloadCols(merged)
@@ -118,7 +121,7 @@ object MergeApply {
       // heartbeat / ddl-only batch: still advance batchId + schema
       // (reference T9: no-op batches advance lineage, record.rs:38-40)
       return lake.commitEmpty(snap, batchId,
-        if (plan.changed) Some(merged) else None, newColAdds)
+        if (plan.changed) Some(merged) else None, newColAdds, skippedEvo)
     }
 
     // ---- 3. partition-pruned COW MERGE ----
@@ -134,7 +137,7 @@ object MergeApply {
         LineageEntry(batchId, startLsn, endLsn,
           m("ins").asInstanceOf[Long], m("upd").asInstanceOf[Long],
           m("del").asInstanceOf[Long],
-          System.currentTimeMillis() - t0, Map.empty)
+          System.currentTimeMillis() - t0, Map.empty, skippedEvo)
       })
   }
 

@@ -1,0 +1,107 @@
+package graft.control
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.apply.Backfill
+import graft.lake.LakeTable
+import graft.pipeline.Pipeline
+
+/** Point-in-time engine status — the payload of the reference's HTTP
+  * status/metrics endpoints (reference: src/control/handlers.rs:103-312),
+  * assembled from snapshot metadata only (no Spark jobs: row counts come
+  * from the snapshot's cumulative per-bucket counters).
+  */
+case class ControlStatus(
+    running: Boolean,
+    snapshotVersion: Long,
+    batchId: Long,
+    endLsn: Long,
+    schemaVersion: Int,
+    backfillDone: Int,
+    rowCount: Long, // incl. tombstones (A3 estimate)
+    lastBatchWallMs: Long,
+    lastBatchSkippedEvolutions: Long) // full history: lake.lineageDf
+
+/** The engine control plane: pause / resume / drain / stop / status plus
+  * the on-demand snapshot trigger — the Spark collapse of the reference's
+  * axum control server (reference: src/control/mod.rs:19-32,
+  * src/control/handlers.rs:103-291). Pause/resume map to stopping and
+  * restarting the streaming query against the SAME checkpoint (Structured
+  * Streaming's offset WAL makes the restart exactly-once); drain runs
+  * Trigger.AvailableNow to the end of the available log and returns.
+  *
+  * Single-controller assumption, like the reference daemon's one control
+  * loop; methods are synchronized for in-process safety.
+  */
+final class Control(
+    spark: SparkSession,
+    binlogDir: String,
+    lake: LakeTable,
+    checkpointDir: String,
+    maxFilesPerTrigger: Int = 1,
+    transportDedup: Boolean = true,
+    chunkSource: Option[Backfill.ChunkSource] = None) {
+
+  private var query: Option[StreamingQuery] = None
+
+  def isRunning: Boolean = synchronized(query.exists(_.isActive))
+
+  /** Start (or resume after [[pause]]) continuous processing. */
+  def resume(): Unit = synchronized {
+    if (!isRunning)
+      query = Some(Pipeline.start(spark, binlogDir, lake, checkpointDir,
+        maxFilesPerTrigger, availableNow = false,
+        transportDedup = transportDedup, chunkSource = chunkSource))
+  }
+
+  /** Graceful pause: the in-flight micro-batch finishes and commits, then
+    * the query stops. State (offsets + lake snapshot) stays consistent, so
+    * [[resume]] continues exactly where it left off.
+    */
+  def pause(): Unit = synchronized {
+    query.foreach(_.stop())
+    query = None
+  }
+
+  /** Drain: process everything currently in the log, then stop — distinct
+    * from [[pause]], which stops at the next batch boundary regardless of
+    * backlog. Completes any pending backfill chunks too.
+    */
+  def drain(): Unit = synchronized {
+    pause()
+    Pipeline.runAvailable(spark, binlogDir, lake, checkpointDir,
+      maxFilesPerTrigger, transportDedup, chunkSource)
+  }
+
+  def stop(): Unit = pause()
+
+  /** On-demand snapshot trigger (T11, reference handlers.rs:103-180):
+    * reset the backfill cursor so every chunk re-applies against the
+    * CURRENT source state under the current stream position. Safe against
+    * the live table because chunk rows merge LSN-guarded (tie-wins at the
+    * chunk's low watermark) — a re-snapshot refreshes drifted rows and
+    * never regresses newer ones. Chunks run interleaved once the stream
+    * resumes (or immediately via [[drain]]).
+    */
+  def triggerSnapshot(): Unit = synchronized {
+    require(chunkSource.isDefined, "no chunk source configured")
+    val snap = lake.snapshot()
+    if (snap.backfillDone != 0) lake.commitBackfillProgress(snap, 0)
+  }
+
+  def status(): ControlStatus = {
+    val snap = lake.snapshot()
+    ControlStatus(
+      running = isRunning,
+      snapshotVersion = snap.version,
+      batchId = snap.batchId,
+      endLsn = snap.endLsn,
+      schemaVersion = snap.schemaVersion,
+      backfillDone = snap.backfillDone,
+      rowCount = snap.rowCount,
+      lastBatchWallMs = snap.lineage.map(_.wallMs).getOrElse(-1L),
+      lastBatchSkippedEvolutions =
+        snap.lineage.map(_.skippedEvolutions).getOrElse(0L))
+  }
+}

@@ -24,7 +24,11 @@ case class LineageEntry(
     updated: Long,
     deleted: Long,
     wallMs: Long,
-    bucketRows: Map[Int, Long])
+    bucketRows: Map[Int, Long],
+    // schema evolutions the batch requested but policy rejected (E5: the
+    // engine degrades — keeps the old type, casts what it can — and counts,
+    // reference: src/connectors/sinks/starrocks/mod.rs:384-432)
+    skippedEvolutions: Long = 0)
 
 /** One data file tracked by a snapshot. `schemaVersion` records the schema
   * the file was written with so widened columns can be cast on read.
@@ -240,7 +244,8 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
   def commitEmpty(
       base: Snapshot, batchId: Long,
       newSchema: Option[StructType] = None,
-      newColAdds: Map[String, Long] = Map.empty): Snapshot = {
+      newColAdds: Map[String, Long] = Map.empty,
+      skippedEvolutions: Long = 0): Snapshot = {
     val sv = if (newSchema.isDefined) base.schemaVersion + 1 else base.schemaVersion
     val next = base.copy(
       version = base.version + 1,
@@ -248,7 +253,8 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       schemaVersion = sv,
       schemas = newSchema.fold(base.schemas)(s => base.schemas + (sv -> s)),
       colAddLsn = base.colAddLsn ++ newColAdds,
-      lineage = Some(LineageEntry(batchId, -1, -1, 0, 0, 0, 0, Map.empty)))
+      lineage = Some(LineageEntry(batchId, -1, -1, 0, 0, 0, 0, Map.empty,
+        skippedEvolutions)))
     writeSnapshot(next)
     next
   }
@@ -375,10 +381,30 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     val rows = listVersions().sorted.map(readSnapshot).flatMap { s =>
       s.lineage.map(l => (s.version, l.batchId, l.startLsn, l.endLsn,
         l.inserted, l.updated, l.deleted, l.wallMs,
-        l.bucketRows.values.sum, s.schemaVersion))
+        l.bucketRows.values.sum, s.schemaVersion, l.skippedEvolutions))
     }
     rows.toDF("snapshot_version", "batch_id", "start_lsn", "end_lsn",
-      "inserted", "updated", "deleted", "wall_ms", "rows_after", "schema_version")
+      "inserted", "updated", "deleted", "wall_ms", "rows_after",
+      "schema_version", "skipped_evolutions")
+  }
+
+  /** Startup schema reconcile (E6, reference:
+    * src/connectors/sinks/postgres/setup.rs:140-170): diff the job's
+    * configured schema against the stored one at engine start; adds/widens
+    * commit immediately, incompatible changes are kept-old (degraded) and
+    * returned so the caller can count/log them.
+    */
+  def ensureSchema(configured: StructType): Seq[graft.schema.SchemaAction] = {
+    val snap = snapshot()
+    val declared = StructType(
+      snap.schema.fields.filterNot(_.name.startsWith("_")))
+    val plan = graft.schema.Reconcile(declared, configured)
+    if (plan.changed) {
+      val merged = StructType(plan.merged.fields ++
+        snap.schema.fields.filter(_.name.startsWith("_")))
+      commitSchema(snap, merged, Map.empty)
+    }
+    plan.actions
   }
 }
 
@@ -404,7 +430,7 @@ object SnapshotCodec {
     }
     s.colAddLsn.toSeq.sorted.foreach { case (c, l) => b ++= s"coladd=$c|$l\n" }
     s.lineage.foreach { l =>
-      b ++= s"lineage=${l.batchId}|${l.startLsn}|${l.endLsn}|${l.inserted}|${l.updated}|${l.deleted}|${l.wallMs}\n"
+      b ++= s"lineage=${l.batchId}|${l.startLsn}|${l.endLsn}|${l.inserted}|${l.updated}|${l.deleted}|${l.wallMs}|${l.skippedEvolutions}\n"
       l.bucketRows.toSeq.sorted.foreach { case (bk, n) =>
         b ++= s"bucketrows=$bk|$n\n"
       }
@@ -446,7 +472,8 @@ object SnapshotCodec {
         case "lineage" =>
           val a = v.split('|')
           lin = Some(LineageEntry(a(0).toLong, a(1).toLong, a(2).toLong,
-            a(3).toLong, a(4).toLong, a(5).toLong, a(6).toLong, Map.empty))
+            a(3).toLong, a(4).toLong, a(5).toLong, a(6).toLong, Map.empty,
+            if (a.length > 7) a(7).toLong else 0L))
         case "bucketrows" =>
           val Array(bk, n) = v.split('|'); bucketRows(bk.toInt) = n.toLong
         case "brows" =>
