@@ -32,6 +32,8 @@ object SparkEntry {
     "cdc_commit_boundaries" -> (CdcQueries.commitBoundaries(_, _)), // T4
     "cdc_concurrent_backfill" -> (CdcQueries.concurrentBackfill(_, _)), // T7/J3
     "cdc_multi_table" -> (CdcQueries.multiTable(_, _)), // P1 + TableRef routing
+    "cdc_decimal_ledger" -> (CdcQueries.decimalLedger(_, _)), // F3 + E2 decimal widen
+    "cdc_json_bridge" -> (CdcQueries.jsonBridge(_, _)), // F6/F7 payload_json
     // --- training-data pipeline ops ---
     "dedup_exact" -> (DataOps.dedupExact(_, _)),
     "dedup_minhash_sig" -> (DataOps.minhashSignatures(_, _)),
@@ -67,6 +69,8 @@ object SparkEntry {
     "cdc_commit_boundaries" -> CdcQueries.commitBoundariesSql,
     "cdc_concurrent_backfill" -> CdcQueries.concurrentBackfillSql,
     "cdc_multi_table" -> CdcQueries.multiTableSql,
+    "cdc_decimal_ledger" -> CdcQueries.decimalLedgerSql,
+    "cdc_json_bridge" -> CdcQueries.jsonBridgeSql,
     "dedup_exact" -> DataOps.dedupExactSql,
     "dedup_minhash_sig" -> DataOps.minhashSignaturesSql,
     "dedup_minhash_lsh_pairs" -> DataOps.minhashLshPairsSql,

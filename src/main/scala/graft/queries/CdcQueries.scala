@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.apply.MergeApply
 import graft.dedup.Dedup
 import graft.lake.LakeTable
-import graft.model.Schemas
+import graft.model.{Op, Schemas}
 import graft.schema.{AddColumn, IgnoreDrop, Reconcile, RejectChange, WidenColumn}
 
 /** Driver-contract CDC queries over the shared `events` table, each paired
@@ -281,6 +281,95 @@ object CdcQueries {
         "GROUP BY tbl, conv_id, turn_idx") +
       "\nSELECT tbl, conv_id, turn_idx, role, text, tool, ts_us, lsn " +
       "FROM red WHERE op <> 2 ORDER BY tbl, conv_id, turn_idx"
+
+  /** Lossless decimal payload through the real engine (F3, reference
+    * carries money/numeric losslessly, src/source/converter.rs:158):
+    * the lake starts with `amount DECIMAL(20,2)`, a mid-stream ddl widens
+    * it to DECIMAL(38,9) (Cast.canUpCast decimal widening, E2), and the
+    * final folded state must equal the plain SQL fold at the widened type —
+    * old files are up-cast on read, new files are written wide.
+    */
+  def decimalLedger(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val env = envelope(spark, sfDir)
+      .withColumn("amount",
+        when(col("op") === 2, lit(null))
+          .otherwise(expr("CAST(CAST(floor(lsn * 1.5) AS BIGINT) AS DECIMAL(20,2))"))
+          .cast(DecimalType(20, 2)))
+      .withColumn("ddl", lit(null).cast("string"))
+    val dir = scratchDir("graft-dec")
+    val lake = LakeTable(spark, dir)
+    lake.create(StructType(Schemas.transcript.fields.patch(6,
+      Seq(StructField("amount", DecimalType(20, 2))), 0)), 8)
+    val maxLsn = env.agg(max("lsn")).head().getLong(0)
+    val cut = maxLsn / 2
+    import spark.implicits._
+    val widen = Seq((cut - cut % 2 + 1, Op.SchemaChange,
+      "widen:amount:" + DecimalType(38, 9).json))
+    val ddlDf = widen.toDF("lsn", "op", "ddl")
+      .select(col("lsn"), col("op"),
+        lit(null).cast("string").as("conv_id"),
+        lit(0).as("turn_idx"), lit(null).cast("string").as("role"),
+        lit(null).cast("string").as("text"), lit(null).cast("string").as("tool"),
+        lit(null).cast("timestamp").as("ts"), lit(null).cast("long").as("ts_us"),
+        lit(false).as("text_unchanged"),
+        lit(null).cast("decimal(20,2)").as("amount"), col("ddl"))
+    val all = env.unionByName(ddlDf, allowMissingColumns = true)
+    val step = math.max(1L, maxLsn / 2 + 1)
+    for (i <- 0 until 2) {
+      val b = all.filter(col("lsn") >= i * step && col("lsn") < (i + 1) * step)
+      MergeApply.applyBatch(spark, lake, b, i.toLong)
+    }
+    lake.read(spark)
+      .select(col("conv_id"), col("turn_idx"),
+        col("amount").cast(DecimalType(38, 9)).as("amount"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  val decimalLedgerSql: String =
+    envelopeSql +
+      """, reda AS (
+        |  SELECT conv_id, turn_idx,
+        |    arg_max(struct_pack(v := op), lsn).v AS op,
+        |    arg_max(struct_pack(v := CASE WHEN op = 2 THEN NULL
+        |      ELSE CAST(CAST(floor(lsn * 1.5) AS BIGINT) AS DECIMAL(38,9)) END),
+        |      lsn).v AS amount
+        |  FROM env GROUP BY conv_id, turn_idx
+        |)
+        |SELECT conv_id, turn_idx, amount FROM reda
+        |WHERE op <> 2 ORDER BY conv_id, turn_idx""".stripMargin
+
+  /** Semi-structured evolution bridge (F6/F7, reference raw-table
+    * payload_json, src/connectors/sinks/postgres/raw_table.rs:298-318):
+    * rows serialize to a JSON payload column, and a reader on the EVOLVED
+    * schema extracts typed columns back — fields the old writer never had
+    * come back null, everything else round-trips losslessly. The oracle is
+    * the identity projection: the bridge must lose nothing.
+    */
+  def jsonBridge(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val env = envelope(spark, sfDir)
+    val evolved = StructType(Seq(
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts_us", LongType),
+      StructField("quality", IntegerType))) // reader-side column the writer lacks
+    env
+      .withColumn("payload_json",
+        to_json(struct(col("role"), col("text"), col("tool"), col("ts_us"))))
+      .withColumn("p", from_json(col("payload_json"), evolved))
+      .select(col("lsn"), col("conv_id"), col("turn_idx"),
+        col("p.role").as("role"), col("p.text").as("text"),
+        col("p.tool").as("tool"), col("p.ts_us").as("ts_us"),
+        col("p.quality").as("quality"))
+      .orderBy("lsn")
+  }
+
+  val jsonBridgeSql: String =
+    envelopeSql +
+      """
+        |SELECT lsn, conv_id, turn_idx, role, text, tool, ts_us,
+        |  CAST(NULL AS INT) AS quality
+        |FROM env ORDER BY lsn""".stripMargin
 
   /** Schema reconciliation plan as data (reference E1/E2 diff policy). */
   def schemaReconcile(spark: SparkSession, sfDir: String): DataFrame = {
