@@ -30,11 +30,15 @@ object ScalingBench {
     val hot = opt.getOrElse("--hot-convs", "3").toInt
     val hotFactor = opt.getOrElse("--hot-factor", "50").toInt
     val segments = opt.getOrElse("--segments", "32").toInt
-    val fpt = opt.getOrElse("--files-per-trigger", "8").toInt
+    // 2 large batches by default: the per-batch serial floor (planning,
+    // state-store commit, snapshot IO) is what the N→4N criterion must NOT
+    // measure — a real cluster amortizes it per-executor (BENCH.md)
+    val fpt = opt.getOrElse("--files-per-trigger", "16").toInt
     val buckets = opt.getOrElse("--buckets", "64").toInt
     val workBase = opt.getOrElse("--work", "/tmp/graft-scaling")
 
-    val shuffle = opt.getOrElse("--shuffle", cpus.toString).toInt
+    // 3×cores: partitions == cores leaves whole stages on one straggler
+    val shuffle = opt.getOrElse("--shuffle", (3 * cpus).toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
@@ -56,13 +60,18 @@ object ScalingBench {
       // once tripped the 120 s executor heartbeat and killed the stream)
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
-      // --rocksdb: executor-local state store (the cluster-scale choice) vs
-      // the default HDFS-backed provider
+      // --rocksdb: executor-local native state + incremental changelog
+      // commits — the right choice on a real cluster's per-executor NVMe,
+      // but measured 6.5x SLOWER in this one-JVM sandbox (96 native
+      // instances sharing one box, see BENCH.md A/B), so the local bench
+      // defaults to the in-heap HDFS-backed provider
       .config("spark.sql.streaming.stateStore.providerClass",
         if (args.contains("--rocksdb"))
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
         else
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        args.contains("--rocksdb").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
