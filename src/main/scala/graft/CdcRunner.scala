@@ -54,6 +54,11 @@ object CdcRunner {
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1").toString)
+      // avoid the FileContext checkpoint manager's per-rename process fork
+      // (readlink via Shell — thread-dump-verified in BENCH.md)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      .config("spark.sql.streaming.maxBatchesToRetainInMemory", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -70,6 +70,12 @@ object PlanDump {
     dump("dedup_exact")(DataOps.dedupExact(spark, sfDir))
     dump("sim_dot_topk (TakeOrderedAndProject expected)")(
       DataOps.dotTopK(spark, sfDir))
+    dump("minhash_lsh_pairs (ONE banded self-equi-join, sig persisted)")(
+      DataOps.minhashLshPairs(spark, sfDir))
+    dump("ann_ivf (posexplode centroids, broadcast probe)")(
+      DataOps.annIvf(spark, sfDir))
+    dump("embedding_neardup (banded self-equi-join, no cross join)")(
+      DataOps.embeddingNearDup(spark, sfDir))
     spark.stop()
   }
 }

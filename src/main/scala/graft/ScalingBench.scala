@@ -72,6 +72,17 @@ object ScalingBench {
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         args.contains("--rocksdb").toString)
+      // the HDFS-backed store retains 2 state versions in heap by default —
+      // at 32M dedup keys per batch that doubles live-set GC pressure for
+      // replay data the offset WAL already guarantees we never need
+      .config("spark.sql.streaming.maxBatchesToRetainInMemory", "1")
+      // thread-dump-verified (BENCH.md): the default FileContext-based
+      // checkpoint manager's rename calls Hadoop getFileLinkStatus →
+      // Shell.execCommand — a PROCESS FORK from the multi-GB JVM per state
+      // file commit (96+/batch, kernel-serialized). The FileSystem-based
+      // manager renames via java.io.File directly.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

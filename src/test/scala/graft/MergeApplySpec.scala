@@ -202,5 +202,9 @@ class MergeApplySpec extends SparkSpec {
       .select("batch_id", "start_lsn", "end_lsn", "inserted", "updated", "deleted")
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(lin == Seq((0L, 2L, 4L, 2L, 0L, 0L), (1L, 6L, 10L, 1L, 1L, 1L)))
+    // A3: the snapshot's cumulative per-bucket counters equal the physical
+    // row count (incl. the tombstone) with zero file IO
+    assert(lake.snapshot().rowCount ==
+      lake.read(spark, includeTombstones = true).count())
   }
 }

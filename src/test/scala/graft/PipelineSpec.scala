@@ -125,4 +125,25 @@ class PipelineSpec extends SparkSpec {
       maxFilesPerTrigger = 2)
     assert(liveState(lake) == OracleFold.finalState(events))
   }
+
+  test("lsn-ordered redelivery collapses even WITHOUT the stateful dedup") {
+    // For an lsn-monotone segment source, at-least-once redelivery is
+    // already effectively-once without dropDuplicatesWithinWatermark:
+    // intra-batch duplicates collapse in the idempotent LWW reduce, and
+    // cross-batch replays die on the per-event `lsn > endLsn` filter —
+    // the reference's own contract (at-least-once + idempotent MERGE, T3).
+    // The stateful stage stays for out-of-order transports; this pins the
+    // defense-in-depth claim that lets trusted transports skip its shuffle.
+    val cfg = GenConfig(seed = 19, numConvs = 30, eventsPerConv = 20)
+    val events = BinlogGen.events(cfg)
+    val dup = events ++ events.filter(_.lsn % 5 == 0) ++ events.take(50)
+    val work = tmpDir("stream6")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(dup.sortBy(_.lsn)).toDF(), s"$work/binlog", 6)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 8)
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 2, transportDedup = false)
+    assert(liveState(lake) == OracleFold.finalState(events))
+  }
 }
