@@ -372,6 +372,39 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       lineage = LineageEntry(snap.batchId, -1, -1, 0, 0, 0, 0, Map.empty))
   }
 
+  /** Maintenance: physically delete (a) snapshot metas older than the
+    * newest `keepVersions` (bounding the time-travel horizon) and (b) data
+    * files referenced by NO retained snapshot — compaction leftovers and
+    * orphans of crashed commits. Files younger than `graceMs` are spared
+    * so an in-flight commit's files (written before its meta appears) are
+    * never swept — the same rule as Iceberg's remove_orphan_files. Returns
+    * (metasDeleted, filesDeleted). Single-writer assumption, like commits.
+    */
+  def vacuum(keepVersions: Int = 2, graceMs: Long = 3600000L): (Int, Int) = {
+    require(keepVersions >= 1, "must retain at least the current snapshot")
+    val versions = listVersions().sorted
+    val retained = versions.takeRight(keepVersions)
+    val referenced = retained
+      .flatMap(v => readSnapshot(v).files.map(_.relPath)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var files = 0
+    if (fs.exists(dataDir)) {
+      val rootQual = fs.makeQualified(new Path(root)).toString
+      val it = fs.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toString.stripPrefix(rootQual).stripPrefix("/")
+        if (!referenced.contains(rel) && f.getModificationTime < cutoff) {
+          fs.delete(f.getPath, false)
+          files += 1
+        }
+      }
+    }
+    val dropped = versions.dropRight(keepVersions)
+    dropped.foreach(v => fs.delete(metaPath(v), false))
+    (dropped.size, files)
+  }
+
   /** Lineage/metrics as a DataFrame (derived from the snapshot log — always
     * consistent with committed state; replaces the reference's HTTP
     * status/metrics endpoints, src/control/handlers.rs:255-312).

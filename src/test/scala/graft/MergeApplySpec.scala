@@ -207,4 +207,32 @@ class MergeApplySpec extends SparkSpec {
     assert(lake.snapshot().rowCount ==
       lake.read(spark, includeTombstones = true).count())
   }
+
+  test("vacuum deletes orphans and pre-horizon versions, never live data") {
+    val lake = newLake(4)
+    applyAll(lake, Seq(
+      Seq(ev(2, Op.Insert, "c1", 0, text = "a"),
+        ev(4, Op.Insert, "c2", 0, text = "b")),
+      Seq(ev(6, Op.Update, "c1", 0, text = "a2"))))
+    val live = liveState(lake)
+    val versions = lake.snapshotVersions().sorted
+    // plant an orphan (crashed-commit leftover no manifest references)
+    val fsys = new org.apache.hadoop.fs.Path(lake.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(
+      lake.root, "data/c999-dead/_bucket=0/part-orphan.parquet")
+    fsys.mkdirs(orphan.getParent)
+    val out = fsys.create(orphan, true); out.write(1); out.close()
+
+    val (metas, files) = lake.vacuum(keepVersions = 1, graceMs = 0L)
+    assert(metas == versions.size - 1)
+    assert(files >= 1)                        // at least the orphan
+    assert(!fsys.exists(orphan))
+    assert(liveState(lake) == live)           // live state untouched
+    assert(lake.snapshotVersions().size == 1) // time-travel horizon bounded
+    // a fresh commit after vacuum still works
+    MergeApply.applyBatch(spark, lake, spark.createDataset(
+      Seq(ev(8, Op.Insert, "c3", 0, text = "c"))).toDF(), 5L)
+    assert(liveState(lake).size == live.size + 1)
+  }
 }
