@@ -27,20 +27,33 @@ object MultiApply {
       lakes: Map[String, LakeTable],
       batch: DataFrame,
       batchId: Long): Long = {
-    // one pre-scan: destination tables present + untracked-event count
-    // (reference A5: DISTINCT dst tables per flush)
-    val tracked = lakes.keySet
-    val pre = batch.select(
-      collect_set(col("table")).as("tables"),
-      count(when(!col("table").isInCollection(tracked), 1)).as("skipped"))
-      .head()
-    val present = pre.getSeq[String](0)
-    val skipped = pre.getLong(1)
-    // deterministic apply order; few tables relative to data, so the
-    // per-table filtered scans stay cheap next to the MERGE itself
-    for (t <- present.filter(tracked).sorted)
-      MergeApply.applyBatch(spark, lakes(t),
-        batch.filter(col("table") === t).drop("table"), batchId)
-    skipped
+    // Persist once: every tracked table re-reads the batch for its own
+    // filtered MERGE — without the cache that is one source scan per table
+    // (at reference-like 25 tables, 25 scans of the same micro-batch).
+    val cached = batch.persist()
+    try {
+      // one pre-scan: destination tables present + untracked-event count
+      // (reference A5: DISTINCT dst tables per flush). NULL `table` counts
+      // as untracked too — `!isInCollection` alone is NULL for NULL input,
+      // which would silently understate the drop count.
+      val tracked = lakes.keySet
+      val untracked =
+        col("table").isNull || !col("table").isInCollection(tracked)
+      val pre = cached.select(
+        collect_set(col("table")).as("tables"),
+        count(when(untracked, 1)).as("skipped"))
+        .head()
+      val present = pre.getSeq[String](0)
+      val skipped = pre.getLong(1)
+      // deterministic apply order; each MERGE scans the cached batch, not
+      // the source
+      for (t <- present.filter(tracked).sorted)
+        MergeApply.applyBatch(spark, lakes(t),
+          cached.filter(col("table") === t).drop("table"), batchId)
+      skipped
+    } finally {
+      cached.unpersist()
+      ()
+    }
   }
 }

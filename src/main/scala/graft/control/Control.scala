@@ -78,14 +78,22 @@ final class Control(
 
   /** On-demand snapshot trigger (T11, reference handlers.rs:103-180):
     * reset the backfill cursor so every chunk re-applies against the
-    * CURRENT source state under the current stream position. Safe against
-    * the live table because chunk rows merge LSN-guarded (tie-wins at the
-    * chunk's low watermark) — a re-snapshot refreshes drifted rows and
-    * never regresses newer ones. Chunks run interleaved once the stream
-    * resumes (or immediately via [[drain]]).
+    * CURRENT source state under the current stream position. Data-safe
+    * against live rows because chunk rows merge LSN-guarded (tie-wins at
+    * the chunk's low watermark) — a re-snapshot refreshes drifted rows and
+    * never regresses newer ones. The query must be paused first, though:
+    * this method commits a snapshot version from the control thread, and a
+    * concurrently-committing micro-batch would race it for version N+1 —
+    * the loser's IllegalStateException would kill whichever thread lost
+    * (the same single-writer rule applies to `vacuum`/`compact`). Chunks
+    * run interleaved once the stream resumes (or immediately via
+    * [[drain]]).
     */
   def triggerSnapshot(): Unit = synchronized {
     require(chunkSource.isDefined, "no chunk source configured")
+    require(!isRunning,
+      "pause() the stream before triggerSnapshot(): a control-thread commit" +
+        " races the stream's own commits for the next snapshot version")
     val snap = lake.snapshot()
     if (snap.backfillDone != 0) lake.commitBackfillProgress(snap, 0)
   }

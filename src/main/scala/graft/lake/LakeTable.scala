@@ -325,7 +325,19 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     * instead of silently clobbering the winner's manifest. Single-writer is
     * still the operating assumption (as in the reference daemon); this guard
     * turns a violated assumption into a loud error, not lost commits.
+    *
+    * The FileContext is cached per table (not re-resolved per commit), and
+    * filesystems that ship only a `FileSystem` impl with no
+    * `AbstractFileSystem` binding (e.g. s3a without
+    * `fs.AbstractFileSystem.s3a.impl`) fall back to exists-check + rename —
+    * a narrower race window instead of an UnsupportedFileSystemException.
     */
+  @transient private lazy val fileContext
+      : Option[org.apache.hadoop.fs.FileContext] =
+    try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, hadoopConf))
+    catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+
   private def writeSnapshot(snap: Snapshot): Unit = {
     fs.mkdirs(logDir)
     val target = metaPath(snap.version)
@@ -333,8 +345,13 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     val o = fs.create(tmp, true)
     try o.write(SnapshotCodec.encode(snap).getBytes(StandardCharsets.UTF_8))
     finally o.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hadoopConf)
-    try fc.rename(tmp, target) // default Options.Rename.NONE: fail if exists
+    try fileContext match {
+      case Some(fc) => fc.rename(tmp, target) // Options.Rename.NONE default
+      case None =>
+        if (fs.exists(target) || !fs.rename(tmp, target))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            target.toString)
+    }
     catch {
       case e: Throwable =>
         fs.delete(tmp, false)
@@ -375,18 +392,31 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
   /** Maintenance: physically delete (a) snapshot metas older than the
     * newest `keepVersions` (bounding the time-travel horizon) and (b) data
     * files referenced by NO retained snapshot — compaction leftovers and
-    * orphans of crashed commits. Files younger than `graceMs` are spared
-    * so an in-flight commit's files (written before its meta appears) are
-    * never swept — the same rule as Iceberg's remove_orphan_files. Returns
-    * (metasDeleted, filesDeleted). Single-writer assumption, like commits.
+    * orphans of crashed commits.
+    *
+    * In-flight-commit safety is structural, not mtime-based: data files
+    * land under a commit-unique `cNNN-…` directory BEFORE the commit's
+    * meta appears, so a file whose directory version is ≥ the oldest
+    * retained snapshot version may belong to a commit still in flight and
+    * is never touched. Files below that version line are additionally
+    * given `graceMs` (default 24h — an in-flight COW write job must never
+    * outlive it; Iceberg's remove_orphan_files defaults to 3 days for the
+    * same reason). Returns (metasDeleted, filesDeleted). Single-writer
+    * assumption, like commits.
     */
-  def vacuum(keepVersions: Int = 2, graceMs: Long = 3600000L): (Int, Int) = {
+  def vacuum(keepVersions: Int = 2, graceMs: Long = 86400000L): (Int, Int) = {
     require(keepVersions >= 1, "must retain at least the current snapshot")
     val versions = listVersions().sorted
     val retained = versions.takeRight(keepVersions)
+    val oldestRetained = retained.min
     val referenced = retained
       .flatMap(v => readSnapshot(v).files.map(_.relPath)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
+    // data/cNNNNNNNNNNNN-xxxx/... -> commit version N, or None if foreign
+    def dirVersion(rel: String): Option[Long] =
+      rel.split('/').drop(1).headOption
+        .flatMap(d => "^c(\\d+)-".r.findFirstMatchIn(d))
+        .map(_.group(1).toLong)
     var files = 0
     if (fs.exists(dataDir)) {
       val rootQual = fs.makeQualified(new Path(root)).toString
@@ -394,7 +424,9 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       while (it.hasNext) {
         val f = it.next()
         val rel = f.getPath.toString.stripPrefix(rootQual).stripPrefix("/")
-        if (!referenced.contains(rel) && f.getModificationTime < cutoff) {
+        val preHorizon = dirVersion(rel).exists(_ < oldestRetained)
+        if (!referenced.contains(rel) && preHorizon &&
+            f.getModificationTime < cutoff) {
           fs.delete(f.getPath, false)
           files += 1
         }

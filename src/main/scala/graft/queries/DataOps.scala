@@ -56,18 +56,20 @@ object DataOps {
       |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents))
       |)""".stripMargin
 
-  /** MinHash signatures: 8 independent min-hashes over word 3-gram shingles
-    * (hash = md5 with a per-hash salt — identical hex in any engine). At
-    * scale this is one map + one combinable min-aggregate per hash.
+  /** MinHash signatures from a shingle table (doc_id, sh): 8 independent
+    * min-hashes (hash = md5 with a per-hash salt — identical hex in any
+    * engine). At scale this is one map + one combinable min-aggregate per
+    * hash.
     */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    shingles(spark, sfDir)
-      .groupBy("doc_id")
+  private def signaturesFrom(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
       .agg(
         min(md5(concat(lit("0|"), col("sh")))).as("s0"),
         (1 until 8).map(k =>
           min(md5(concat(lit(s"$k|"), col("sh")))).as(s"s$k")): _*)
-      .orderBy("doc_id")
+
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    signaturesFrom(shingles(spark, sfDir)).orderBy("doc_id")
 
   private val sigSelectSql: String =
     "SELECT doc_id,\n" +
@@ -86,8 +88,13 @@ object DataOps {
     * O(n²) OR-join — and the signature subtree is persisted so it is
     * computed exactly once, not once per band.
     */
-  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = minhashSignatures(spark, sfDir).select(
+  /** Candidate pairs from a shingle table. The banded subtree is persisted
+    * only for the duration of the self-join: the (small) pair result is
+    * materialized and cached, then the intermediate is unpersisted — round
+    * 2 leaked one cached subtree per invocation across a long session.
+    */
+  private def lshPairsFrom(sh: DataFrame): DataFrame = {
+    val bands = signaturesFrom(sh).select(
       col("doc_id"),
       explode(array((0 until 4).map(k => struct(
         lit(k).as("k"),
@@ -96,9 +103,18 @@ object DataOps {
       .persist()
     val a = bands.select(col("doc_id").as("doc_a"), col("k"), col("v"))
     val b = bands.select(col("doc_id").as("doc_b"), col("k"), col("v"))
-    a.join(b, Seq("k", "v")).filter(col("doc_a") < col("doc_b"))
+    val out = a.join(b, Seq("k", "v")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct().orderBy("doc_a", "doc_b")
+      .persist()
+    out.count() // materialize while `bands` is still cached
+    bands.unpersist()
+    out
+  }
+
+  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir).persist()
+    try lshPairsFrom(sh) finally { sh.unpersist(); () }
   }
 
   private val lshPairsCoreSql: String =
@@ -120,24 +136,36 @@ object DataOps {
     * shuffles on (pair, shingle) — still an equi-join, never O(n²).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE shingle subtree shared by the candidate generator and the exact
+    // verify (round 2 computed it twice: once inside minhashLshPairs, once
+    // here), persisted for the run and released before returning.
     val sh = shingles(spark, sfDir).persist()
-    val pairs = minhashLshPairs(spark, sfDir)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("i"))
-    pairs
-      .join(cnt.as("c1"), col("doc_a") === col("c1.doc_id"))
-      .join(cnt.as("c2"), col("doc_b") === col("c2.doc_id"))
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .select(
-        col("doc_a"), col("doc_b"),
-        expr("(coalesce(i, 0) * 10000) DIV (c1.n + c2.n - coalesce(i, 0))")
-          .as("jaccard_bp"))
-      .orderBy("doc_a", "doc_b")
+    try {
+      val pairs = lshPairsFrom(sh)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sh.as("b"),
+          col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("i"))
+      val out = pairs
+        .join(cnt.as("c1"), col("doc_a") === col("c1.doc_id"))
+        .join(cnt.as("c2"), col("doc_b") === col("c2.doc_id"))
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .select(
+          col("doc_a"), col("doc_b"),
+          expr("(coalesce(i, 0) * 10000) DIV (c1.n + c2.n - coalesce(i, 0))")
+            .as("jaccard_bp"))
+        .orderBy("doc_a", "doc_b")
+        .persist()
+      out.count()
+      pairs.unpersist()
+      out
+    } finally {
+      sh.unpersist()
+      ()
+    }
   }
 
   val ngramJaccardSql: String =
@@ -341,18 +369,12 @@ object DataOps {
     * to stay exact at any data scale (DuckDB widens to HUGEINT the same
     * way).
     */
-  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    // The synthetic corpus has no true near-dups (max organic cosine ≈ 0.51),
-    // so every 10th vector gets a deterministic near-copy planted
-    // (id + 100000, integer perturbation in [-5, 5] on ~±500 components →
-    // cos ≈ 0.9999): the op must find exactly these pairs. The perturbation
-    // is integer arithmetic, so the oracle plants identical copies.
-    val q0 = quantized(spark, sfDir)
-    val planted = q0.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
-        expr("transform(q, (x, i) -> x + ((vec_id * 31 + i * 7) % 11) - 5)")
-          .as("q"))
-    val q = q0.unionByName(planted)
+  /** PURE operator: near-dup pairs of an already-quantized vector table
+    * (vec_id: long, q: array<bigint> milli-units). Unlike round 2, the
+    * operator plants NOTHING — it is a function of its input table only;
+    * test-fixture row planting lives in [[embeddingNearDup]]'s data prep.
+    */
+  def embeddingNearDupPairs(q: DataFrame): DataFrame = {
     val hcol = typedLit(hyperplanes)
     def bitDot(j: Int) =
       s"aggregate(zip_with(q, H[$j], (a, h) -> a * h), " +
@@ -370,7 +392,7 @@ object DataOps {
       col("k"), col("v"))
     val b = bands.select(col("vec_id").as("id_b"), col("q").as("qb"),
       col("k"), col("v"))
-    a.join(b, Seq("k", "v")).filter(col("id_a") < col("id_b"))
+    val out = a.join(b, Seq("k", "v")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("qa"), col("qb"))
       .distinct() // a pair may collide in several bands
       .withColumn("dot", expr(
@@ -385,6 +407,26 @@ object DataOps {
           "CAST(6400 AS DECIMAL(38,0)) * na2 * nb2"))
       .select("id_a", "id_b", "dot")
       .orderBy("id_a", "id_b")
+      .persist()
+    out.count() // materialize while `bands` is still cached
+    bands.unpersist()
+    out
+  }
+
+  /** Driver query = fixture prep + the pure operator. The synthetic corpus
+    * has no true near-dups (max organic cosine ≈ 0.51), so the FIXTURE
+    * plants a deterministic near-copy of every 10th vector (id + 100000,
+    * integer perturbation in [-5, 5] per component → cos ≈ 0.9999): the
+    * operator must find exactly these pairs. The perturbation is integer
+    * arithmetic, so the oracle plants identical copies.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val q0 = quantized(spark, sfDir)
+    val planted = q0.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        expr("transform(q, (x, i) -> x + ((vec_id * 31 + i * 7) % 11) - 5)")
+          .as("q"))
+    embeddingNearDupPairs(q0.unionByName(planted))
   }
 
   /** Same construction in DuckDB: the hyperplane matrix regenerates from

@@ -216,18 +216,26 @@ class MergeApplySpec extends SparkSpec {
       Seq(ev(6, Op.Update, "c1", 0, text = "a2"))))
     val live = liveState(lake)
     val versions = lake.snapshotVersions().sorted
-    // plant an orphan (crashed-commit leftover no manifest references)
     val fsys = new org.apache.hadoop.fs.Path(lake.root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val orphan = new org.apache.hadoop.fs.Path(
-      lake.root, "data/c999-dead/_bucket=0/part-orphan.parquet")
-    fsys.mkdirs(orphan.getParent)
-    val out = fsys.create(orphan, true); out.write(1); out.close()
+    def plant(rel: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(lake.root, rel)
+      fsys.mkdirs(p.getParent)
+      val out = fsys.create(p, true); out.write(1); out.close()
+      p
+    }
+    // a crashed-commit leftover at a long-superseded version: sweepable
+    val orphan = plant("data/c2-dead/_bucket=0/part-orphan.parquet")
+    // an unreferenced file whose commit version is at/after the oldest
+    // retained snapshot — could be an IN-FLIGHT commit's data, written
+    // before its meta appears — must survive regardless of mtime/grace
+    val inflight = plant("data/c999-next/_bucket=0/part-inflight.parquet")
 
     val (metas, files) = lake.vacuum(keepVersions = 1, graceMs = 0L)
     assert(metas == versions.size - 1)
     assert(files >= 1)                        // at least the orphan
     assert(!fsys.exists(orphan))
+    assert(fsys.exists(inflight))             // post-horizon: never swept
     assert(liveState(lake) == live)           // live state untouched
     assert(lake.snapshotVersions().size == 1) // time-travel horizon bounded
     // a fresh commit after vacuum still works
