@@ -39,10 +39,19 @@ object ScalingBench {
 
     // 3×cores: partitions == cores leaves whole stages on one straggler
     val shuffle = opt.getOrElse("--shuffle", (3 * cpus).toString).toInt
+    // State-store partition count is a PER-QUERY constant, not a per-cluster
+    // one: Spark locks it into the checkpoint at query start and it cannot
+    // follow executor-count changes — a real N→4N resize keeps it fixed. So
+    // the dedup stage's partitioning is sized once (default 96 = 3× the
+    // largest level measured here, identical at every level), while the
+    // foreachBatch MERGE jobs repartition at 3×cores of the CURRENT level
+    // (Pipeline.applyShufflePartitions).
+    val statePartitions = opt.getOrElse("--state-partitions", "96").toInt
+    val wmDelay = opt.getOrElse("--wm", "10 minutes")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", shuffle.toString)
+      .config("spark.sql.shuffle.partitions", statePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // segments are written with 16MB row groups — map them to input splits
@@ -110,15 +119,29 @@ object ScalingBench {
     val dedup = !args.contains("--no-dedup")
     val t0 = System.nanoTime()
     Pipeline.runAvailable(spark, binlogDir, lake, s"$runDir/ckpt",
-      maxFilesPerTrigger = fpt, transportDedup = dedup)
+      maxFilesPerTrigger = fpt, transportDedup = dedup,
+      applyShufflePartitions = Some(shuffle), watermarkDelay = wmDelay)
     val sec = (System.nanoTime() - t0) / 1e9
-    val live = lake.read(spark).count()
+    // replay-equality check: row count AND an order-insensitive content hash
+    // over the north-rule invariant columns — a count alone can miss a
+    // same-cardinality corruption
+    // (hash summed in DECIMAL(38,0): a LongType sum of 64-bit hashes
+    // overflows under ANSI arithmetic)
+    val check = lake.read(spark).selectExpr(
+      "count(1) AS rows",
+      "CAST(sum(CAST(xxhash64(conv_id, turn_idx, text) AS DECIMAL(38,0))) " +
+        "AS STRING) AS content")
+      .head()
+    val live = check.getLong(0)
+    val contentHash = check.getString(1)
     val perBatch = lake.snapshotVersions().sorted.flatMap(v =>
       lake.readSnapshot(v).lineage.map(_.wallMs))
 
     println(f"""{"bench":"scaling","cpus":$cpus,"events":$events,""" +
       f""""applySec":$sec%.2f,"eventsPerSec":${events / sec}%.0f,""" +
-      f""""liveRows":$live,"segments":$segments,"batches":${segments / fpt},""" +
+      f""""liveRows":$live,"contentHash":"$contentHash",""" +
+      f""""segments":$segments,"batches":${segments / fpt},""" +
+      f""""statePartitions":$statePartitions,"shuffle":$shuffle,""" +
       s""""dedup":$dedup,"batchWallMs":[${perBatch.mkString(",")}]}""")
     fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
     spark.stop()

@@ -21,7 +21,11 @@ case class ControlStatus(
     backfillDone: Int,
     rowCount: Long, // incl. tombstones (A3 estimate)
     lastBatchWallMs: Long,
-    lastBatchSkippedEvolutions: Long) // full history: lake.lineageDf
+    lastBatchSkippedEvolutions: Long, // full history: lake.lineageDf
+    // A9 rate/lag (reference metrics_sampler.rs:1-67): last batch's
+    // events/sec and event-time lag; -1/-1 before any progress
+    eventsPerSec: Double = -1.0,
+    lagMs: Long = -1L)
 
 /** The engine control plane: pause / resume / drain / stop / status plus
   * the on-demand snapshot trigger — the Spark collapse of the reference's
@@ -44,6 +48,15 @@ final class Control(
     chunkSource: Option[Backfill.ChunkSource] = None) {
 
   private var query: Option[StreamingQuery] = None
+
+  /** Per-batch rate/lag observations (A9), fed by the streaming listener
+    * bus for this engine's query; [[metricsDf]] exposes the history, the
+    * latest sample surfaces in [[status]].
+    */
+  val metrics = new MetricsSampler("graft-cdc")
+  spark.streams.addListener(metrics)
+
+  def metricsDf: org.apache.spark.sql.DataFrame = metrics.metricsDf(spark)
 
   def isRunning: Boolean = synchronized(query.exists(_.isActive))
 
@@ -110,6 +123,11 @@ final class Control(
       rowCount = snap.rowCount,
       lastBatchWallMs = snap.lineage.map(_.wallMs).getOrElse(-1L),
       lastBatchSkippedEvolutions =
-        snap.lineage.map(_.skippedEvolutions).getOrElse(0L))
+        snap.lineage.map(_.skippedEvolutions).getOrElse(0L),
+      eventsPerSec = metrics.latest.map(_.eventsPerSec).getOrElse(-1.0),
+      lagMs = metrics.latest.map(_.lagMs).getOrElse(-1L))
   }
+
+  /** Detach the metrics listener (call when discarding this Control). */
+  def close(): Unit = spark.streams.removeListener(metrics)
 }

@@ -1,0 +1,65 @@
+package graft.control
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** One progress observation per micro-batch (the reference samples
+  * events/sec and `lag = now − last_commit_ts` once per second,
+  * src/control/metrics_sampler.rs:1-67, src/control/state.rs:170-224; in
+  * Spark the per-batch StreamingQueryProgress IS the sampler — rate and
+  * event-time high watermark come with every batch, no polling thread).
+  *
+  * `lagMs` = batch wall-clock timestamp − max event time in the batch:
+  * how far the applied stream trails the source, the first number an
+  * operator of a live pipeline looks at. −1 when the batch carried no
+  * event-time (heartbeat/no-data batches).
+  */
+case class MetricsSample(
+    batchId: Long,
+    tsMs: Long,
+    inputRows: Long,
+    eventsPerSec: Double,
+    lagMs: Long)
+
+/** Collects [[MetricsSample]]s for queries matching `queryName` — attach
+  * via `spark.streams.addListener` (Control does this on construction).
+  */
+final class MetricsSampler(queryName: String)
+    extends StreamingQueryListener {
+
+  private val buf = scala.collection.mutable.ArrayBuffer[MetricsSample]()
+
+  override def onQueryStarted(
+      e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(
+      e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    if (p.name == queryName) {
+      val ts = Instant.parse(p.timestamp).toEpochMilli
+      val lag = Option(p.eventTime.get("max"))
+        .map(m => ts - Instant.parse(m).toEpochMilli)
+        .getOrElse(-1L)
+      val rate =
+        if (p.processedRowsPerSecond.isNaN || p.processedRowsPerSecond.isInfinite) 0.0
+        else p.processedRowsPerSecond
+      synchronized {
+        buf += MetricsSample(p.batchId, ts, p.numInputRows, rate, lag)
+        ()
+      }
+    }
+  }
+
+  def samples: Seq[MetricsSample] = synchronized(buf.toVector)
+
+  def latest: Option[MetricsSample] = synchronized(buf.lastOption)
+
+  def metricsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    samples.toDF()
+  }
+}

@@ -54,7 +54,16 @@ case class Snapshot(
     // number of concurrent-backfill chunks completed (chunks finish in
     // order), the resume cursor of the reference's chunk-state store
     // (src/control/state.rs:200-310)
-    backfillDone: Int = 0) {
+    backfillDone: Int = 0,
+    // Iceberg-style manifest-list indirection: bucket -> relPath of the
+    // per-bucket manifest file listing that bucket's data files. The meta
+    // file then carries O(numBuckets) manifest lines instead of O(files)
+    // file lines, and a commit rewrites ONLY the touched buckets'
+    // manifests — the 10^5-commits × 10^6-files metadata wall flagged in
+    // round 2. `files` always holds the RESOLVED list in memory
+    // (readSnapshot resolves manifests); buckets absent from this map have
+    // their files inlined in the meta (legacy/empty-table form).
+    bucketManifests: Map[Int, String] = Map.empty) {
   def schema: StructType = schemas(schemaVersion)
   def rowCount: Long = bucketRowCounts.values.sum
 }
@@ -95,6 +104,7 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
 
   private def logDir = new Path(root, "_log")
   private def dataDir = new Path(root, "data")
+  private def manifestsDir = new Path(root, "_manifests")
   private def metaPath(v: Long) = new Path(logDir, f"v$v%012d.meta")
 
   // ---------------------------------------------------------------- reads
@@ -117,11 +127,26 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
   }
 
   def readSnapshot(version: Long): Snapshot = {
-    val in = fs.open(metaPath(version))
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    SnapshotCodec.decode(text)
+    val snap = SnapshotCodec.decode(readTextFile(metaPath(version)))
+    if (snap.bucketManifests.isEmpty) snap
+    else {
+      // resolve the manifest list: one small sequential file per bucket
+      val resolved = snap.bucketManifests.toSeq.sortBy(_._1)
+        .flatMap { case (b, rel) =>
+          readTextFile(new Path(root, rel)).split('\n').filter(_.nonEmpty)
+            .map { line =>
+              val i = line.indexOf('|')
+              DataFileEntry(b, line.substring(0, i).toInt, line.substring(i + 1))
+            }
+        }
+      snap.copy(files = snap.files ++ resolved)
+    }
+  }
+
+  private def readTextFile(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
   /** Read the current table state (latest schema). Delete tombstones
@@ -209,6 +234,13 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       base.numBuckets, touchedBuckets, sv, base.version + 1)
 
     val carried = base.files.filterNot(f => touchedBuckets.contains(f.bucket))
+    // Manifest-list indirection: each touched bucket's file list goes to
+    // its own manifest file; untouched buckets keep their existing
+    // manifest paths untouched. Commit metadata IO is therefore
+    // O(touched buckets + numBuckets meta lines), independent of the
+    // table's total file count.
+    val newManifests = writeManifests(newFiles, base.version + 1)
+    val manifests = (base.bucketManifests -- touchedBuckets) ++ newManifests
     // lineageFn reads Observation results — only valid after the write
     // action above materialized the plan.
     val lin = lineageFn.map(_.apply()).getOrElse(lineage)
@@ -224,9 +256,30 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       files = carried ++ newFiles,
       // COW: touched buckets' counts are replaced, untouched carry over
       bucketRowCounts = (base.bucketRowCounts -- touchedBuckets) ++ rowsByBucket,
-      backfillDone = backfillDone.getOrElse(base.backfillDone))
+      backfillDone = backfillDone.getOrElse(base.backfillDone),
+      bucketManifests = manifests)
     writeSnapshot(next)
     next
+  }
+
+  /** One manifest file per bucket present in `files`: lines of
+    * `<schemaVersion>|<relPath>`. Written before the meta that references
+    * them (same crash-invisibility as data files: no meta → no reader).
+    */
+  private def writeManifests(
+      files: Seq[DataFileEntry], version: Long): Map[Int, String] = {
+    if (files.isEmpty) return Map.empty
+    fs.mkdirs(manifestsDir)
+    files.groupBy(_.bucket).map { case (b, fse) =>
+      val name =
+        f"m$version%012d-$b-${UUID.randomUUID().toString.take(8)}.mf"
+      val out = fs.create(new Path(manifestsDir, name), true)
+      try out.write(fse.sortBy(_.relPath)
+        .map(f => s"${f.schemaVersion}|${f.relPath}\n")
+        .mkString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      b -> s"_manifests/$name"
+    }
   }
 
   /** Backfill-progress-only commit (an empty chunk still completes). */
@@ -432,6 +485,22 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
         }
       }
     }
+    // superseded manifest files: same rule (unreferenced + version below
+    // the retained horizon + past grace)
+    val referencedManifests = retained
+      .flatMap(v => readSnapshot(v).bucketManifests.values).toSet
+    if (fs.exists(manifestsDir)) {
+      for (m <- fs.listStatus(manifestsDir)) {
+        val name = m.getPath.getName
+        val mVer = "^m(\\d+)-".r.findFirstMatchIn(name).map(_.group(1).toLong)
+        if (!referencedManifests.contains(s"_manifests/$name") &&
+            mVer.exists(_ < oldestRetained) &&
+            m.getModificationTime < cutoff) {
+          fs.delete(m.getPath, false)
+          files += 1
+        }
+      }
+    }
     val dropped = versions.dropRight(keepVersions)
     dropped.foreach(v => fs.delete(metaPath(v), false))
     (dropped.size, files)
@@ -503,9 +572,14 @@ object SnapshotCodec {
     s.bucketRowCounts.toSeq.sorted.foreach { case (bk, n) =>
       b ++= s"brows=$bk|$n\n"
     }
-    s.files.sortBy(f => (f.bucket, f.relPath)).foreach { f =>
-      b ++= s"file=${f.bucket}|${f.schemaVersion}|${f.relPath}\n"
+    s.bucketManifests.toSeq.sorted.foreach { case (bk, rel) =>
+      b ++= s"bmanifest=$bk|$rel\n"
     }
+    // manifest-covered buckets' files live in their manifest file, not here
+    s.files.filterNot(f => s.bucketManifests.contains(f.bucket))
+      .sortBy(f => (f.bucket, f.relPath)).foreach { f =>
+        b ++= s"file=${f.bucket}|${f.schemaVersion}|${f.relPath}\n"
+      }
     b.result()
   }
 
@@ -518,6 +592,7 @@ object SnapshotCodec {
     var lin: Option[LineageEntry] = None
     val bucketRows = scala.collection.mutable.Map[Int, Long]()
     val brows = scala.collection.mutable.Map[Int, Long]()
+    val bmanifests = scala.collection.mutable.Map[Int, String]()
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       val (k, v) = (line.substring(0, i), line.substring(i + 1))
@@ -543,6 +618,9 @@ object SnapshotCodec {
           val Array(bk, n) = v.split('|'); bucketRows(bk.toInt) = n.toLong
         case "brows" =>
           val Array(bk, n) = v.split('|'); brows(bk.toInt) = n.toLong
+        case "bmanifest" =>
+          val i2 = v.indexOf('|')
+          bmanifests(v.substring(0, i2).toInt) = v.substring(i2 + 1)
         case "file" =>
           val a = v.split('|')
           files += DataFileEntry(a(0).toInt, a(1).toInt, a(2))
@@ -552,6 +630,6 @@ object SnapshotCodec {
     Snapshot(version, batchId, schemaVersion, endLsn, numBuckets,
       schemas.toMap, colAdd.toMap,
       lin.map(_.copy(bucketRows = bucketRows.toMap)), files.toSeq,
-      brows.toMap, backfillDone)
+      brows.toMap, backfillDone, bmanifests.toMap)
   }
 }

@@ -40,6 +40,16 @@ object Pipeline {
     *   chunks are merged under the stream's current applied position as
     *   their low watermark. Progress persists in the lake snapshot
     *   (`backfillDone`), so a restart resumes at the next chunk.
+    * @param applyShufflePartitions when set, `spark.sql.shuffle.partitions`
+    *   is switched to this value INSIDE foreachBatch, before the apply plan
+    *   is built. This decouples the two partition-count decisions a real
+    *   deployment makes independently: the stateful dedup's state-store
+    *   partition count is locked into the checkpoint at query start (Spark
+    *   records it in the offset log; it cannot follow cluster resizes), so
+    *   it is sized once for the query's lifetime from the session conf —
+    *   while the per-batch MERGE jobs should track the CURRENT executor
+    *   count. Without this, growing the cluster N→4N either leaves the
+    *   merge under-partitioned or is impossible without a new checkpoint.
     */
   def start(
       spark: SparkSession,
@@ -51,7 +61,8 @@ object Pipeline {
       transportDedup: Boolean = true,
       watermarkDelay: String = "10 minutes",
       chunkSource: Option[Backfill.ChunkSource] = None,
-      chunksPerBatch: Int = 1): StreamingQuery = {
+      chunksPerBatch: Int = 1,
+      applyShufflePartitions: Option[Int] = None): StreamingQuery = {
     val src0 = spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -66,6 +77,8 @@ object Pipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
+        applyShufflePartitions.foreach(n =>
+          ss.conf.set("spark.sql.shuffle.partitions", n.toString))
         MergeApply.applyBatch(ss, lake, batch, batchId)
         // interleaved concurrent backfill: chunks progress between stream
         // batches (the reference's snapshot/stream scheduling,
@@ -75,6 +88,46 @@ object Pipeline {
           while (n < chunksPerBatch && Backfill.step(ss, lake, src)) n += 1
         }
         ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime("5 seconds"))
+      .start()
+  }
+
+  /** Sink-generic variant of [[start]]: the same source/dedup front end
+    * feeding any [[graft.sink.Sink]] from the factory (reference:
+    * create_sink dispatch, src/connectors/sinks/mod.rs:57-148). Sink
+    * errors propagate — the query fails loudly, the offset WAL is not
+    * advanced past the failed batch, and a restart replays it exactly
+    * (reference invariant src/pipeline/mod.rs:169-185).
+    */
+  def startWithSink(
+      spark: SparkSession,
+      binlogDir: String,
+      sink: graft.sink.Sink,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1,
+      availableNow: Boolean = true,
+      transportDedup: Boolean = true,
+      watermarkDelay: String = "10 minutes",
+      applyShufflePartitions: Option[Int] = None): StreamingQuery = {
+    val src0 = spark.readStream
+      .schema(Schemas.changeEvent)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(binlogDir)
+    val src =
+      if (transportDedup)
+        src0.withWatermark("ts", watermarkDelay)
+          .dropDuplicatesWithinWatermark("lsn")
+      else src0
+    src.writeStream
+      .queryName("graft-cdc-sink")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        applyShufflePartitions.foreach(n =>
+          ss.conf.set("spark.sql.shuffle.partitions", n.toString))
+        sink.applyBatch(ss, batch, batchId)
       }
       .trigger(if (availableNow) Trigger.AvailableNow()
                else Trigger.ProcessingTime("5 seconds"))
@@ -129,10 +182,14 @@ object Pipeline {
       maxFilesPerTrigger: Int = 1,
       transportDedup: Boolean = true,
       chunkSource: Option[Backfill.ChunkSource] = None,
-      chunksPerBatch: Int = 1): Unit = {
+      chunksPerBatch: Int = 1,
+      applyShufflePartitions: Option[Int] = None,
+      watermarkDelay: String = "10 minutes"): Unit = {
     val q = start(spark, binlogDir, lake, checkpointDir, maxFilesPerTrigger,
       availableNow = true, transportDedup = transportDedup,
-      chunkSource = chunkSource, chunksPerBatch = chunksPerBatch)
+      watermarkDelay = watermarkDelay,
+      chunkSource = chunkSource, chunksPerBatch = chunksPerBatch,
+      applyShufflePartitions = applyShufflePartitions)
     q.awaitTermination()
     chunkSource.foreach { src =>
       while (Backfill.step(spark, lake, src)) ()

@@ -112,6 +112,35 @@ class ControlSpec extends SparkSpec {
       truth.map(t => (t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts)))
   }
 
+  test("A9: metrics sampler records per-batch rate and event-time lag") {
+    val cfg = GenConfig(seed = 53, numConvs = 30, eventsPerConv = 20)
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("ctlmetrics")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(events).toDF(), s"$work/binlog", 4)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 4)
+    val ctl = new Control(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 2)
+    try {
+      ctl.drain()
+      // the listener bus delivers asynchronously; wait for the samples
+      val deadline = System.currentTimeMillis() + 20000
+      while (ctl.metrics.samples.size < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val samples = ctl.metrics.samples
+      assert(samples.size >= 2, s"expected >=2 progress samples, got $samples")
+      // rows flowed and rates/lags are sane: fixture event-time is 2024, so
+      // lag (= batch wall time - max event time) is large and positive
+      assert(samples.map(_.inputRows).sum == events.size)
+      assert(samples.filter(_.inputRows > 0).forall(_.eventsPerSec > 0))
+      assert(samples.filter(_.inputRows > 0).forall(_.lagMs > 0))
+      val st = ctl.status()
+      assert(st.eventsPerSec >= 0 && st.lagMs >= -1)
+      assert(ctl.metricsDf.count() == samples.size)
+    } finally ctl.close()
+  }
+
   test("E5: rejected type change degrades with a counted skip, not a failure") {
     val lake = LakeTable(spark, tmpDir("e5"))
     lake.create(Schemas.transcript, 4)

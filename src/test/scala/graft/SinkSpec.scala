@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.binlog.{BinlogGen, GenConfig, OracleFold}
+import graft.lake.LakeTable
+import graft.model.Transcript
+import graft.pipeline.Pipeline
+import graft.sink.{MergeSink, RawAppendSink, Sink, SinkConfig}
+
+/** The sink factory (S15) and its contract: kind dispatch, the raw-append
+  * sync/normalize split (reference: src/connectors/sinks/mod.rs:57-148,
+  * postgres/raw_table.rs:298-318, normalizer.rs:169-216), idempotent batch
+  * replay, and T13 — a failing sink halts the stream loudly and a restart
+  * resumes exactly-once (reference: src/pipeline/mod.rs:169-185).
+  */
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def payload(df: DataFrame) =
+    df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .as[(String, Int, String, String, String, java.sql.Timestamp)]
+      .collect().toVector.sortBy(t => (t._1, t._2))
+
+  private def payloadOf(v: Vector[Transcript]) =
+    v.map(t => (t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts))
+
+  test("factory dispatches by kind and rejects unknown kinds") {
+    val merge = Sink.create(spark, SinkConfig("lake-merge", tmpDir("sf-m")))
+    assert(merge.isInstanceOf[MergeSink])
+    val raw = Sink.create(spark, SinkConfig("raw-append", tmpDir("sf-r")))
+    assert(raw.isInstanceOf[RawAppendSink])
+    intercept[IllegalArgumentException] {
+      Sink.create(spark, SinkConfig("starburst", tmpDir("sf-x")))
+    }
+  }
+
+  test("raw-append sink + normalize equals the merge sink fold (sync/normalize split)") {
+    val cfg = GenConfig(seed = 61, numConvs = 50, eventsPerConv = 30,
+      pctUpdate = 0.3, pctDelete = 0.1,
+      addToolAtLsn = Some(2L * 50 * 30 / 4 + 1))
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("sinksplit")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(events).toDF(), s"$work/binlog", 6)
+
+    // the same stream through BOTH sink kinds, each with its own checkpoint
+    val mergeSink = Sink.create(spark,
+      SinkConfig("lake-merge", s"$work/lake", numBuckets = 4))
+    Pipeline.startWithSink(spark, s"$work/binlog", mergeSink, s"$work/ckptM",
+      maxFilesPerTrigger = 2).awaitTermination()
+    val rawSink = Sink.create(spark, SinkConfig("raw-append", s"$work/raw"))
+      .asInstanceOf[RawAppendSink]
+    Pipeline.startWithSink(spark, s"$work/binlog", rawSink, s"$work/ckptR",
+      maxFilesPerTrigger = 2).awaitTermination()
+
+    // raw log is faithful: every event (incl. the ddl row) landed
+    assert(rawSink.read(spark).count() == events.size)
+    val oracle = OracleFold.finalState(events,
+      Map("tool" -> cfg.addToolAtLsn.get))
+    assert(payload(rawSink.normalize(spark)) == payloadOf(oracle))
+    assert(payload(mergeSink.read(spark)) == payloadOf(oracle))
+  }
+
+  test("raw-append replay is a no-op; crashed tmp dirs are invisible and reaped") {
+    val work = tmpDir("sinkidem")
+    val raw = new RawAppendSink(s"$work/raw",
+      spark.sparkContext.hadoopConfiguration)
+    val cfg = GenConfig(seed = 63, numConvs = 10, eventsPerConv = 5)
+    val batch = spark.createDataset(BinlogGen.events(cfg)).toDF()
+    raw.applyBatch(spark, batch, 0L)
+    val n = raw.read(spark).count()
+    raw.applyBatch(spark, batch, 0L) // replay: must not duplicate
+    assert(raw.read(spark).count() == n)
+    // a crashed write's tmp dir: never read, reaped by vacuumTmp
+    val fs = new org.apache.hadoop.fs.Path(raw.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(raw.root, ".tmp-9-dead"))
+    assert(raw.read(spark).count() == n)
+    assert(raw.vacuumTmp() == 1)
+  }
+
+  test("T13: sink failure halts the stream loudly; restart resumes exactly-once") {
+    val cfg = GenConfig(seed = 67, numConvs = 40, eventsPerConv = 20,
+      pctUpdate = 0.3, pctDelete = 0.1)
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("sinkfail")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(events).toDF(), s"$work/binlog", 8)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(graft.model.Schemas.transcript, 4)
+
+    // a sink that fails once, mid-stream (batch 2), then recovers
+    val failing = new Sink {
+      var tripped = false
+      val inner = new MergeSink(lake)
+      def applyBatch(s: SparkSession, b: DataFrame, id: Long): Unit = {
+        if (id == 2 && !tripped) {
+          tripped = true
+          throw new RuntimeException("injected sink failure")
+        }
+        inner.applyBatch(s, b, id)
+      }
+      def read(s: SparkSession): DataFrame = inner.read(s)
+    }
+
+    // the failure propagates: the query dies, nothing is swallowed
+    val ex = intercept[StreamingQueryException] {
+      Pipeline.startWithSink(spark, s"$work/binlog", failing, s"$work/ckpt",
+        maxFilesPerTrigger = 2).awaitTermination()
+    }
+    assert(ex.getMessage.contains("injected sink failure") ||
+      Iterator.iterate(ex.getCause)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(_.getMessage.contains("injected sink failure")))
+    // the failed batch did NOT advance the table (batches 0,1 only)
+    assert(lake.snapshot().batchId < 2)
+
+    // restart against the same checkpoint: the offset WAL replays the
+    // failed batch; the run completes with the exact oracle state —
+    // no loss, no duplication
+    Pipeline.startWithSink(spark, s"$work/binlog", failing, s"$work/ckpt",
+      maxFilesPerTrigger = 2).awaitTermination()
+    assert(payload(lake.read(spark)) == payloadOf(OracleFold.finalState(events)))
+  }
+}
