@@ -29,6 +29,9 @@ object CdcRunner {
     val segments = opt.getOrElse("--segments", "20").toInt
     val fpt = opt.getOrElse("--files-per-trigger", "4").toInt
     val buckets = opt.getOrElse("--buckets", "32").toInt
+    // S15 sink selection: lake-merge (default) | raw-append (sync/normalize
+    // split: append-only staging now, normalize fold on demand)
+    val sinkKind = opt.getOrElse("--sink", "lake-merge")
     val fresh = args.contains("--fresh")
 
     // spark-submit injects the master; default to local[*] when run directly
@@ -80,6 +83,22 @@ object CdcRunner {
       println(s"[cdc] generating ${cfg.totalEvents} events -> $binlogDir")
       BinlogGen.writeSegments(spark,
         BinlogGen.eventsDs(spark, cfg).toDF(), binlogDir, segments)
+    }
+
+    if (sinkKind == "raw-append") {
+      val raw = graft.sink.Sink.create(spark,
+        graft.sink.SinkConfig("raw-append", s"$work/raw"))
+        .asInstanceOf[graft.sink.RawAppendSink]
+      val t0r = System.nanoTime()
+      Pipeline.startWithSink(spark, binlogDir, raw, ckptDir,
+        maxFilesPerTrigger = fpt).awaitTermination()
+      val secs = (System.nanoTime() - t0r) / 1e9
+      val rawRows = raw.read(spark).count()
+      val liveRows = raw.normalize(spark).count()
+      println(f"[cdc] raw-append: staged $rawRows raw events in $secs%.1f s " +
+        f"(${rawRows / secs}%.0f events/s); normalize -> $liveRows live rows")
+      spark.stop()
+      return
     }
 
     val lake = LakeTable(spark, lakeDir)

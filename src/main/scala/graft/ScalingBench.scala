@@ -117,6 +117,36 @@ object ScalingBench {
     lake.create(Schemas.transcriptNoTool, buckets)
 
     val dedup = !args.contains("--no-dedup")
+    // Per-batch decomposition via the progress stream: where a batch's wall
+    // went (total trigger, addBatch) and what the stateful dedup cost
+    // (update/removal/commit times, state rows, state memory). Host noise
+    // here runs to 3x on identical configs (BENCH.md), so component-level
+    // attribution beats comparing end-to-end walls.
+    val progressBuf = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        def dur(k: String) =
+          Option(p.durationMs.get(k)).map(_.longValue).getOrElse(-1L)
+        val so = p.stateOperators.headOption
+        progressBuf.synchronized {
+          progressBuf += (s"""{"batchId":${p.batchId},"rows":${p.numInputRows},""" +
+            s""""triggerMs":${dur("triggerExecution")},"addBatchMs":${dur("addBatch")},""" +
+            s""""stateRows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
+            s""""stateUpdMs":${so.map(_.allUpdatesTimeMs).getOrElse(-1L)},""" +
+            s""""stateRmMs":${so.map(_.allRemovalsTimeMs).getOrElse(-1L)},""" +
+            s""""stateCommitMs":${so.map(_.commitTimeMs).getOrElse(-1L)},""" +
+            s""""stateMemMB":${so.map(_.memoryUsedBytes / (1024 * 1024)).getOrElse(-1L)}}""")
+          ()
+        }
+      }
+    }
+    spark.streams.addListener(listener)
     val t0 = System.nanoTime()
     Pipeline.runAvailable(spark, binlogDir, lake, s"$runDir/ckpt",
       maxFilesPerTrigger = fpt, transportDedup = dedup,
@@ -136,13 +166,19 @@ object ScalingBench {
     val contentHash = check.getString(1)
     val perBatch = lake.snapshotVersions().sorted.flatMap(v =>
       lake.readSnapshot(v).lineage.map(_.wallMs))
+    // listener delivery is async: give the bus a moment to drain
+    val deadline = System.currentTimeMillis() + 10000
+    while (progressBuf.synchronized(progressBuf.size) < segments / fpt &&
+      System.currentTimeMillis() < deadline) Thread.sleep(200)
+    spark.streams.removeListener(listener)
 
     println(f"""{"bench":"scaling","cpus":$cpus,"events":$events,""" +
       f""""applySec":$sec%.2f,"eventsPerSec":${events / sec}%.0f,""" +
       f""""liveRows":$live,"contentHash":"$contentHash",""" +
       f""""segments":$segments,"batches":${segments / fpt},""" +
       f""""statePartitions":$statePartitions,"shuffle":$shuffle,""" +
-      s""""dedup":$dedup,"batchWallMs":[${perBatch.mkString(",")}]}""")
+      s""""dedup":$dedup,"batchWallMs":[${perBatch.mkString(",")}],""" +
+      s""""progress":[${progressBuf.synchronized(progressBuf.mkString(","))}]}""")
     fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
     spark.stop()
   }
