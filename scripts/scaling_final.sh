@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-3 final scaling evidence (north rule: throughput at N vs 4N cores,
+# efficiency >= 0.8).
+#
+#   pair A (the criterion pair): 2 vs 8 cores, 16M events, dedup ON.
+#     Both levels get the SAME absolute heap (state is cluster-total, not
+#     per-core: a 2-core cluster holds the same state bytes as an 8-core
+#     one) and GC threads proportional to cores. Unpinned = conservative
+#     (the small level's auxiliary threads enjoy idle host cores, biasing
+#     measured efficiency DOWN); a pinned pair is also taken as the
+#     faithful N-CPU-host model.
+#   pair B (scale context): 8 vs 32 cores, 64M events, dedup ON, fpt=4 —
+#     documents the single-VM ceiling above 8 threads at 4x the data.
+#   pair C: 8 vs 32 cores, 64M, dedup OFF — the apply core without state.
+#
+# 3 interleaved samples for pair A, 2 for B/C. One JSON line per run.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+WORK=${WORK:-/dev/shm/graft-scaling}
+OUT=${OUT:-SCALING_r3.jsonl}
+
+run() { # run <tag> <pin:0|1> <heap> <cpus> <convs> <extra...>
+  local tag="$1" pin="$2" heap="$3" cpus="$4" convs="$5"; shift 5
+  local pincmd=()
+  [ "$pin" = 1 ] && pincmd=(taskset -c 0-$(( cpus - 1 )))
+  echo "=== $tag pin=$pin heap=$heap cpus=$cpus convs=$convs $(date +%T) ===" >&2
+  SPARK_DRIVER_MEM=$heap \
+  JAVA_EXTRA="-XX:+UseParallelGC -XX:ParallelGCThreads=$cpus" \
+  "${pincmd[@]}" \
+  scripts/run.sh graft.ScalingBench --cpus "$cpus" --convs "$convs" \
+    --events-per-conv 100 --work "$WORK" \
+    --state-partitions $(( 3 * cpus )) --shuffle $(( 3 * cpus )) "$@" \
+    2>/dev/null | grep '^{"bench"' \
+    | sed "s/^{/{\"tag\":\"$tag\",\"pinned\":$pin,/" | tee -a "$OUT"
+}
+
+# pair A: 3 interleaved unpinned samples + 2 pinned
+for s in 1 2 3; do
+  run A-2v8 0 7g 2 160000
+  run A-2v8 0 7g 8 160000
+done
+for s in 1 2; do
+  run A-2v8-pin 1 7g 2 160000
+  run A-2v8-pin 1 7g 8 160000
+done
+# pair B: 64M dedup ON, fpt=4 keeps per-batch state ~2.6 GB
+for s in 1 2; do
+  run B-8v32 1 7g  8  640000 --files-per-trigger 4
+  run B-8v32 1 28g 32 640000 --files-per-trigger 4
+done
+# pair C: 64M dedup OFF
+run C-8v32-nodedup 1 7g  8  640000 --no-dedup --files-per-trigger 4
+run C-8v32-nodedup 1 28g 32 640000 --no-dedup --files-per-trigger 4
+echo "final done $(date +%T)" >&2
