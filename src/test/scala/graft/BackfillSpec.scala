@@ -64,6 +64,34 @@ class BackfillSpec extends SparkSpec {
     }
   }
 
+  test("sampled chunk planning partitions the key space; sparse keys never crash") {
+    import org.apache.spark.sql.functions.col
+    // 9 distinct keys, 4 chunks (the round-2 advice's crash case: the old
+    // planner could yield fewer bounds than chunks and chunkPredicate threw)
+    val few = spark.createDataset((0 until 9).map(i => f"k$i%02d")).toDF("conv_id")
+    val b9 = Backfill.planChunkBounds(few, "conv_id", 4)
+    assert(b9.size <= 3 && b9 == b9.sorted && b9.distinct == b9)
+    // every key lands in EXACTLY one chunk, incl. indexes past the plan
+    val cover = (0 until 4).map(i =>
+      few.filter(Backfill.chunkPredicate(b9, "conv_id", i)).count()).sum
+    assert(cover == 9)
+    // 1000 keys / 64 chunks (the second advice case) — also indexes well
+    // past the boundary count must select nothing, not throw
+    val many = spark.createDataset((0 until 1000).map(i => f"c$i%04d")).toDF("conv_id")
+    val b1000 = Backfill.planChunkBounds(many, "conv_id", 64)
+    val counts = (0 until 64).map(i =>
+      many.filter(Backfill.chunkPredicate(b1000, "conv_id", i)).count())
+    assert(counts.sum == 1000)
+    assert(many.filter(Backfill.chunkPredicate(b1000, "conv_id", 63)).count() >= 0)
+    // approximately balanced (sampled quantiles): no chunk holds >3x its share
+    assert(counts.max <= 3 * (1000 / 64 + 1), s"skewed chunks: $counts")
+    // deterministic: same input -> same plan
+    assert(Backfill.planChunkBounds(many, "conv_id", 64) == b1000)
+    // empty input and single chunk degenerate cleanly
+    assert(Backfill.planChunkBounds(many.limit(0), "conv_id", 4).isEmpty)
+    assert(Backfill.planChunkBounds(many, "conv_id", 1).isEmpty)
+  }
+
   test("chunk apply: LSN tie wins, newer target rows and tombstones survive") {
     val lake = newLake()
     // stream starts mid-log: an unchanged-text UPDATE inserts with null text
