@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main. Prints ONE JSON line with per-query MEDIAN
+  * seconds over k runs (k=3 by default, SPARK_GRAFT_BENCH_K to override).
+  * Medians, because single runs on this shared host spread up to 3×-12×
+  * under host steal (round 3's recorded 151 s vs 62.5 s re-run of the same
+  * commit was pure measurement noise that cost a day of adjudication) —
+  * per-query min/max are emitted alongside so a noisy sample is visible
+  * instead of silently shaping the headline number.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val k = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,7 +25,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // A failed query must be visible as an error, not show up as a fast
     // timing (round-2 judge finding: `catch { _ => -1L }` masked failures).
-    val results: Map[String, (Double, Option[String])] =
+    // Samples interleave (full pass over all queries, k times) so a host
+    // noise burst hits one sample of many queries, not all samples of one.
+    def onePass(): Map[String, (Double, Option[String])] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
@@ -24,18 +36,32 @@ object Bench {
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}") }
         name -> ((System.nanoTime() - t0) / 1e9, err)
       }
+    val passes = (1 to k).map(_ => onePass())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val names = SparkEntry.queries.keys.toSeq
+    val agg: Map[String, (Double, Double, Double, Option[String])] =
+      names.map { n =>
+        val ts = passes.map(_(n)._1)
+        val err = passes.flatMap(_(n)._2).headOption
+        n -> (median(ts), ts.min, ts.max, err)
+      }.toMap
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = agg.map { case (n, (med, _, _, _)) => s"\"$n\":$med" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, Some(e))) =>
-      s"\"${esc(k)}\":\"${esc(e)}\"" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val spread = agg.map { case (n, (_, mn, mx, _)) =>
+      s"""\"$n\":[$mn,$mx]""" }.mkString("{", ",", "}")
+    val errs = agg.collect { case (n, (_, _, _, Some(e))) =>
+      s"\"${esc(n)}\":\"${esc(e)}\"" }.mkString("{", ",", "}")
+    val total = agg.values.map(_._1).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$k,"minmax":$spread,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Belt and braces for the driver: also persist the line as a file (sbt
     // log prefixes made round 1's BENCH_r01.json `parsed: null`).

@@ -117,6 +117,10 @@ object ScalingBench {
     lake.create(Schemas.transcriptNoTool, buckets)
 
     val dedup = !args.contains("--no-dedup")
+    // "interval" (default) = interval-compressed lsn dedup state (O(range
+    // buckets)); "hash" = dropDuplicatesWithinWatermark (O(events) state,
+    // the round-3 GC wall) — kept for A/B
+    val dedupImpl = opt.getOrElse("--dedup-impl", "interval")
     // Per-batch decomposition via the progress stream: where a batch's wall
     // went (total trigger, addBatch) and what the stateful dedup cost
     // (update/removal/commit times, state rows, state memory). Host noise
@@ -150,7 +154,8 @@ object ScalingBench {
     val t0 = System.nanoTime()
     Pipeline.runAvailable(spark, binlogDir, lake, s"$runDir/ckpt",
       maxFilesPerTrigger = fpt, transportDedup = dedup,
-      applyShufflePartitions = Some(shuffle), watermarkDelay = wmDelay)
+      applyShufflePartitions = Some(shuffle), watermarkDelay = wmDelay,
+      dedupImpl = dedupImpl)
     val sec = (System.nanoTime() - t0) / 1e9
     // replay-equality check: row count AND an order-insensitive content hash
     // over the north-rule invariant columns — a count alone can miss a
@@ -177,7 +182,8 @@ object ScalingBench {
       f""""liveRows":$live,"contentHash":"$contentHash",""" +
       f""""segments":$segments,"batches":${segments / fpt},""" +
       f""""statePartitions":$statePartitions,"shuffle":$shuffle,""" +
-      s""""dedup":$dedup,"batchWallMs":[${perBatch.mkString(",")}],""" +
+      s""""dedup":$dedup,"dedupImpl":"$dedupImpl",""" +
+      s""""batchWallMs":[${perBatch.mkString(",")}],""" +
       s""""progress":[${progressBuf.synchronized(progressBuf.mkString(","))}]}""")
     fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
     spark.stop()

@@ -83,13 +83,21 @@ object MergeApply {
     })
     var newColAdds = Map.empty[String, Long]
     for ((lsn, (kind, name, dt)) <- ddlRows) kind match {
-      case "add" if !incoming.fieldNames.contains(name) =>
-        incoming = incoming.add(StructField(name, dt, nullable = true))
-        newColAdds += (name -> lsn)
+      case "add" =>
+        if (!incoming.fieldNames.contains(name))
+          incoming = incoming.add(StructField(name, dt, nullable = true))
+        // Record the add-lsn even when the table was pre-created with the
+        // column: the SOURCE only started emitting it at this lsn, so
+        // earlier events must not count as carrying it (the reference's
+        // Relation-message column registry, src/pipeline/schema_cache.rs:
+        // 31-100, keys existence off the stream, not the sink schema).
+        // First add wins; a replayed/duplicate ddl can't move it.
+        if (!snap.colAddLsn.contains(name) && !newColAdds.contains(name))
+          newColAdds += (name -> lsn)
       case "widen" =>
         incoming = StructType(incoming.fields.map(f =>
           if (f.name == name) f.copy(dataType = dt) else f))
-      case _ => // add of an existing column: no-op
+      case _ => // unknown ddl kind: ignore (forward compatibility)
     }
     val plan = Reconcile(declared, incoming)
     // E5 degraded mode: incompatible type changes keep the old type (the

@@ -25,11 +25,17 @@ case class MetricsSample(
 
 /** Collects [[MetricsSample]]s for queries matching `queryName` — attach
   * via `spark.streams.addListener` (Control does this on construction).
+  *
+  * The buffer is a ring of the last `maxSamples` batches (default 10k ≈
+  * 14 h of 5 s triggers): a long-lived continuous query must not grow
+  * driver heap one sample per batch forever; durable per-batch history
+  * lives in the lake's lineage commits, not here.
   */
-final class MetricsSampler(queryName: String)
+final class MetricsSampler(queryName: String, maxSamples: Int = 10000)
     extends StreamingQueryListener {
+  require(maxSamples > 0, "maxSamples must be positive")
 
-  private val buf = scala.collection.mutable.ArrayBuffer[MetricsSample]()
+  private val buf = scala.collection.mutable.ArrayDeque[MetricsSample]()
 
   override def onQueryStarted(
       e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -41,15 +47,21 @@ final class MetricsSampler(queryName: String)
     val p = e.progress
     if (p.name == queryName) {
       val ts = Instant.parse(p.timestamp).toEpochMilli
+      // event-time high mark: watermark bookkeeping when present (hash
+      // dedup mode), else the pipeline's CollectMetrics observation
+      val observedMax = Option(p.observedMetrics.get("graft_event_time"))
+        .flatMap(r => Option(r.getAs[java.sql.Timestamp]("max_ts")))
+        .map(_.getTime)
       val lag = Option(p.eventTime.get("max"))
         .map(m => ts - Instant.parse(m).toEpochMilli)
+        .orElse(observedMax.map(ts - _))
         .getOrElse(-1L)
       val rate =
         if (p.processedRowsPerSecond.isNaN || p.processedRowsPerSecond.isInfinite) 0.0
         else p.processedRowsPerSecond
       synchronized {
         buf += MetricsSample(p.batchId, ts, p.numInputRows, rate, lag)
-        ()
+        if (buf.size > maxSamples) { buf.removeHead(); () }
       }
     }
   }

@@ -401,15 +401,29 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     try fileContext match {
       case Some(fc) => fc.rename(tmp, target) // Options.Rename.NONE default
       case None =>
-        if (fs.exists(target) || !fs.rename(tmp, target))
+        // Fallback path: only diagnose "commit race" when the target really
+        // exists — a rename that failed for any other reason (permissions,
+        // missing parent, IO) must surface as an IO error, not masquerade
+        // as a concurrent writer.
+        if (fs.exists(target))
           throw new org.apache.hadoop.fs.FileAlreadyExistsException(
             target.toString)
+        if (!fs.rename(tmp, target)) {
+          if (fs.exists(target))
+            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+              target.toString)
+          throw new java.io.IOException(
+            s"snapshot commit rename failed: $tmp -> $target")
+        }
     }
     catch {
-      case e: Throwable =>
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
         fs.delete(tmp, false)
         throw new IllegalStateException(
           s"commit race: $target already exists", e)
+      case e: Throwable =>
+        fs.delete(tmp, false)
+        throw e
     }
   }
 

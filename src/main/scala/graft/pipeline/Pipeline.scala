@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.apply.{Backfill, MergeApply, MultiApply}
@@ -24,6 +25,34 @@ import graft.model.Schemas
   * `Trigger.AvailableNow` as drain.
   */
 object Pipeline {
+
+  /** The transport-dedup front end shared by every query shape. Modes:
+    *   - "interval" (default): [[graft.dedup.IntervalDedup]] —
+    *     interval-compressed state, O(lsn-range buckets) instead of
+    *     O(events-in-watermark); the 10^10-event-scale configuration.
+    *   - "hash": `dropDuplicatesWithinWatermark("lsn")` — Spark's built-in
+    *     one-state-row-per-key dedup, kept for A/B measurement.
+    */
+  private def dedupStage(
+      src: DataFrame,
+      transportDedup: Boolean,
+      dedupImpl: String,
+      watermarkDelay: String): DataFrame =
+    (if (!transportDedup) src
+     else dedupImpl match {
+       // no watermark in interval mode: it needs none for state GC, and an
+       // event-time watermark here would DROP late input rows (the dDWW
+       // trap) instead of deduping them
+       case "interval" => graft.dedup.IntervalDedup.stage(src)
+       case "hash" => src.withWatermark("ts", watermarkDelay)
+         .dropDuplicatesWithinWatermark("lsn")
+       case other => throw new IllegalArgumentException(
+         s"unknown dedupImpl '$other' (expected interval | hash)")
+     })
+      // per-batch max event time via CollectMetrics: feeds the A9 lag
+      // metric in every mode (the watermark-derived progress.eventTime
+      // only exists in hash mode)
+      .observe("graft_event_time", max(col("ts")).as("max_ts"))
 
   /** Start the CDC query over a binlog segment directory.
     *
@@ -62,16 +91,13 @@ object Pipeline {
       watermarkDelay: String = "10 minutes",
       chunkSource: Option[Backfill.ChunkSource] = None,
       chunksPerBatch: Int = 1,
-      applyShufflePartitions: Option[Int] = None): StreamingQuery = {
+      applyShufflePartitions: Option[Int] = None,
+      dedupImpl: String = "interval"): StreamingQuery = {
     val src0 = spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(binlogDir)
-    val src =
-      if (transportDedup)
-        src0.withWatermark("ts", watermarkDelay)
-          .dropDuplicatesWithinWatermark("lsn")
-      else src0
+    val src = dedupStage(src0, transportDedup, dedupImpl, watermarkDelay)
     src.writeStream
       .queryName("graft-cdc")
       .option("checkpointLocation", checkpointDir)
@@ -110,16 +136,13 @@ object Pipeline {
       availableNow: Boolean = true,
       transportDedup: Boolean = true,
       watermarkDelay: String = "10 minutes",
-      applyShufflePartitions: Option[Int] = None): StreamingQuery = {
+      applyShufflePartitions: Option[Int] = None,
+      dedupImpl: String = "interval"): StreamingQuery = {
     val src0 = spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(binlogDir)
-    val src =
-      if (transportDedup)
-        src0.withWatermark("ts", watermarkDelay)
-          .dropDuplicatesWithinWatermark("lsn")
-      else src0
+    val src = dedupStage(src0, transportDedup, dedupImpl, watermarkDelay)
     src.writeStream
       .queryName("graft-cdc-sink")
       .option("checkpointLocation", checkpointDir)
@@ -148,16 +171,13 @@ object Pipeline {
       maxFilesPerTrigger: Int = 1,
       availableNow: Boolean = true,
       transportDedup: Boolean = true,
-      watermarkDelay: String = "10 minutes"): StreamingQuery = {
+      watermarkDelay: String = "10 minutes",
+      dedupImpl: String = "interval"): StreamingQuery = {
     val src0 = spark.readStream
       .schema(Schemas.changeEventMulti)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(binlogDir)
-    val src =
-      if (transportDedup)
-        src0.withWatermark("ts", watermarkDelay)
-          .dropDuplicatesWithinWatermark("lsn")
-      else src0
+    val src = dedupStage(src0, transportDedup, dedupImpl, watermarkDelay)
     src.writeStream
       .queryName("graft-cdc-multi")
       .option("checkpointLocation", checkpointDir)
@@ -184,12 +204,14 @@ object Pipeline {
       chunkSource: Option[Backfill.ChunkSource] = None,
       chunksPerBatch: Int = 1,
       applyShufflePartitions: Option[Int] = None,
-      watermarkDelay: String = "10 minutes"): Unit = {
+      watermarkDelay: String = "10 minutes",
+      dedupImpl: String = "interval"): Unit = {
     val q = start(spark, binlogDir, lake, checkpointDir, maxFilesPerTrigger,
       availableNow = true, transportDedup = transportDedup,
       watermarkDelay = watermarkDelay,
       chunkSource = chunkSource, chunksPerBatch = chunksPerBatch,
-      applyShufflePartitions = applyShufflePartitions)
+      applyShufflePartitions = applyShufflePartitions,
+      dedupImpl = dedupImpl)
     q.awaitTermination()
     chunkSource.foreach { src =>
       while (Backfill.step(spark, lake, src)) ()

@@ -65,7 +65,8 @@ object Sink {
         lake.create(cfg.schema, cfg.numBuckets)
       new MergeSink(lake)
     case "raw-append" =>
-      new RawAppendSink(cfg.path, spark.sparkContext.hadoopConfiguration)
+      new RawAppendSink(cfg.path, spark.sparkContext.hadoopConfiguration,
+        cfg.schema, cfg.numBuckets)
     case other =>
       throw new IllegalArgumentException(
         s"unknown sink kind '$other' (expected lake-merge | raw-append)")
@@ -87,46 +88,119 @@ final class MergeSink(val lake: LakeTable) extends Sink {
   * `batch=<id>` parquet directory of unmodified change events (ddl rows
   * included — the raw log is faithful). Exactly-once comes from the
   * directory-per-batch commit: data is written to a hidden temp dir and
-  * renamed to its final name, so a replayed batch (rename target exists)
-  * is a no-op and a crashed write leaves only an invisible `.tmp-*` dir
-  * (reaped by [[vacuumTmp]]).
+  * renamed to its final name with no-overwrite semantics, so a replayed
+  * batch is a no-op and a crashed write leaves only an invisible `.tmp-*`
+  * dir (reaped by [[vacuumTmp]]).
   *
-  * `normalize` folds the raw log into final-table state on demand — the
-  * reference's normalizer pass over its raw tables
-  * (src/connectors/sinks/postgres/normalizer.rs:102-359). At 100 TB the
-  * fold is one map-side-combined LWW aggregation over a partitioned
-  * parquet scan; the raw write path itself is pure parquet-append
-  * throughput with no join or state anywhere.
+  * Two normalize paths mirror the reference's sync/normalize split
+  * (src/connectors/sinks/postgres/raw_table.rs:298-318,
+  * normalizer.rs:102-359):
+  *   - [[normalize]] — the on-demand full fold (one map-side-combined LWW
+  *     aggregation over the whole raw log), for ad-hoc inspection;
+  *   - [[normalizeIncremental]] — the production path: maintains a
+  *     persistent normalized [[LakeTable]] and folds ONLY the raw batches
+  *     in `(normalized.batchId, max committed batch]` — the reference's
+  *     `(normalize_batch_id, sync_batch_id]` watermark pair
+  *     (normalizer.rs:169-216, setup.rs:111-127). The normalized table's
+  *     own `batchId` IS the normalize watermark: it advances atomically
+  *     with the fold commit, and a crash between fold and commit replays
+  *     idempotently (batchId guard + per-key `_lsn` guard).
+  *
+  * [[compactRaw]] bounds staged-history growth: batch dirs at or below the
+  * normalize watermark coalesce into one `compacted-<id>` dir (the COW
+  * analog of the reference's DELETE-after-normalize,
+  * normalizer.rs:169-216), keeping the read path's directory union flat.
   */
-final class RawAppendSink(val root: String, hadoopConf: Configuration)
+final class RawAppendSink(
+    val root: String,
+    hadoopConf: Configuration,
+    schema: StructType = Schemas.transcript,
+    numBuckets: Int = 16)
     extends Sink {
 
   @transient private lazy val fs: FileSystem =
     new Path(root).getFileSystem(hadoopConf)
 
+  // FileContext gives a true no-overwrite rename (Options.Rename.NONE).
+  // A bare FileSystem.rename onto an EXISTING DIRECTORY moves the source
+  // INSIDE it (POSIX dir-into-dir), which in the exists-check→rename race
+  // would nest a second copy under batch=N instead of no-opping.
+  @transient private lazy val fileContext
+      : Option[org.apache.hadoop.fs.FileContext] =
+    try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, hadoopConf))
+    catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+
   private def batchDir(id: Long) = new Path(root, f"batch=$id%d")
+  private def markerPath = new Path(root, "_compacted")
+
+  /** No-overwrite directory commit; true = this attempt won, false = a
+    * concurrent/earlier attempt already committed `target` (tmp cleaned).
+    */
+  private def commitDir(tmp: Path, target: Path): Boolean =
+    fileContext match {
+      case Some(fc) =>
+        try { fc.rename(tmp, target); true } // Rename.NONE default
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException |
+               _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+            fs.delete(tmp, true); false
+          case _: java.io.IOException if fs.exists(target) =>
+            fs.delete(tmp, true); false
+        }
+      case None =>
+        if (fs.exists(target)) { fs.delete(tmp, true); false }
+        else if (fs.rename(tmp, target)) {
+          // dir-into-dir detection: if target existed concurrently, our tmp
+          // landed NESTED inside it — undo and treat as replay
+          val nested = new Path(target, tmp.getName)
+          if (fs.exists(nested)) { fs.delete(nested, true); false } else true
+        } else if (fs.exists(target)) { fs.delete(tmp, true); false }
+        else throw new java.io.IOException(
+          s"raw-append commit rename failed: $tmp -> $target")
+    }
+
+  /** Highest batch id folded into the compacted dir (−1 = none). */
+  private[graft] def compactedUpTo: Long =
+    if (!fs.exists(markerPath)) -1L
+    else {
+      val in = fs.open(markerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
 
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= compactedUpTo) return // replay of a compacted batch
     val target = batchDir(batchId)
     if (fs.exists(target)) return // replayed batch: already committed
     fs.mkdirs(new Path(root))
     val tmp = new Path(root, s".tmp-$batchId-${UUID.randomUUID().toString.take(8)}")
     batch.write.mode("overwrite").parquet(tmp.toString)
-    // no-overwrite commit: if a concurrent attempt won, keep its version
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, true)
-      if (!fs.exists(target))
-        throw new IllegalStateException(s"raw-append commit failed: $target")
-    }
+    commitDir(tmp, target)
+    ()
   }
 
-  /** All committed raw events (no tmp dirs, no partial writes). */
+  /** Committed batch dirs as (batchId, path), ascending. */
+  private def committedBatches(): Seq[(Long, Path)] =
+    if (!fs.exists(new Path(root))) Seq.empty
+    else fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => s.getPath.getName.stripPrefix("batch=").toLong -> s.getPath)
+      .sortBy(_._1)
+
+  /** All committed raw events (no tmp dirs, no partial writes): the
+    * compacted dir, if any, plus batch dirs above the compaction marker.
+    * Compaction keeps this union flat — the marker, not dir count, is the
+    * source of truth, so a crash mid-compaction can't double-read.
+    */
   def read(spark: SparkSession): DataFrame = {
-    val dirs =
-      if (!fs.exists(new Path(root))) Seq.empty
-      else fs.listStatus(new Path(root)).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .map(_.getPath.toString)
+    val upTo = compactedUpTo
+    val compacted =
+      if (upTo < 0) Seq.empty
+      else Seq(new Path(root, s"compacted-$upTo").toString)
+    val dirs = compacted ++
+      committedBatches().filter(_._1 > upTo).map(_._2.toString)
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -134,10 +208,11 @@ final class RawAppendSink(val root: String, hadoopConf: Configuration)
     else spark.read.schema(Schemas.changeEvent).parquet(dirs: _*)
   }
 
-  /** Normalize pass: fold the raw log into live final-table rows —
-    * schema-evolution ddl events in the log contribute their add-lsn so
-    * pre-add events don't carry the column (same semantics as the
-    * streaming MERGE path).
+  /** Normalize pass (on-demand form): fold the ENTIRE raw log into live
+    * final-table rows — schema-evolution ddl events in the log contribute
+    * their add-lsn so pre-add events don't carry the column (same
+    * semantics as the streaming MERGE path). O(history); use
+    * [[normalizeIncremental]] for repeated production folds.
     */
   def normalize(spark: SparkSession): DataFrame = {
     val raw = read(spark)
@@ -151,6 +226,75 @@ final class RawAppendSink(val root: String, hadoopConf: Configuration)
     Dedup.lwwReduce(raw.filter(col("op") < Op.SchemaChange), payload, addLsn)
       .filter(col("op") =!= Op.Delete)
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+  }
+
+  /** The persistent normalized table (created on first use). */
+  def normalizedLake(spark: SparkSession): LakeTable = {
+    val lake = LakeTable(spark, s"$root/_normalized")
+    if (lake.snapshotVersions().isEmpty) lake.create(schema, numBuckets)
+    lake
+  }
+
+  /** Incremental normalize: fold only the raw batches newer than the
+    * normalized table's watermark into it, advance the watermark with the
+    * same commit, and return the normalized live rows. Repeated calls with
+    * no new raw batches are pure reads — no fold job at all.
+    */
+  def normalizeIncremental(spark: SparkSession): DataFrame = {
+    val lake = normalizedLake(spark)
+    val done = lake.snapshot().batchId // the normalize watermark
+    val pending = committedBatches().filter(_._1 > done)
+    if (pending.nonEmpty) {
+      val df = spark.read.schema(Schemas.changeEvent)
+        .parquet(pending.map(_._2.toString): _*)
+      // one fold over all pending batches (the reference's batch-range
+      // coalescing, normalizer.rs:170-216); idempotent via batchId guard
+      MergeApply.applyBatch(spark, lake, df, pending.map(_._1).max)
+    }
+    val cols = Schemas.payloadCols(lake.snapshot().schema)
+    lake.read(spark).select(
+      (Seq("conv_id", "turn_idx") ++ cols).map(col): _*)
+  }
+
+  /** Coalesce batch dirs at or below `upTo` (default: the normalize
+    * watermark) plus any earlier compacted dir into one
+    * `compacted-<upTo>` dir. Kill-safe ordering: write new dir → flip the
+    * `_compacted` marker → delete superseded dirs; readers trust only the
+    * marker, so a crash at any point yields either the old or the new
+    * view, never a double-read. Returns the number of dirs removed.
+    */
+  def compactRaw(spark: SparkSession, upTo: Long = Long.MinValue): Int = {
+    val prev = compactedUpTo
+    val bound =
+      if (upTo != Long.MinValue) upTo
+      else {
+        val lake = LakeTable(spark, s"$root/_normalized")
+        if (lake.snapshotVersions().isEmpty) return 0
+        lake.snapshot().batchId
+      }
+    val eligible = committedBatches().filter { case (id, _) =>
+      id > prev && id <= bound }
+    if (eligible.isEmpty) return 0
+    val newUpTo = eligible.map(_._1).max
+    val srcDirs =
+      (if (prev >= 0) Seq(new Path(root, s"compacted-$prev").toString)
+       else Seq.empty) ++ eligible.map(_._2.toString)
+    val tmp = new Path(root, s".tmp-compact-${UUID.randomUUID().toString.take(8)}")
+    spark.read.schema(Schemas.changeEvent).parquet(srcDirs: _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(commitDir(tmp, new Path(root, s"compacted-$newUpTo")),
+      s"compaction target compacted-$newUpTo already exists")
+    // marker flip: temp file + rename-overwrite (single-writer maintenance)
+    val mTmp = new Path(root, s".tmp-marker-${UUID.randomUUID().toString.take(8)}")
+    val o = fs.create(mTmp, true)
+    try o.write(newUpTo.toString.getBytes("UTF-8")) finally o.close()
+    fs.delete(markerPath, false)
+    require(fs.rename(mTmp, markerPath), "marker flip failed")
+    // now invisible to readers: superseded batch dirs + old compacted dir
+    var removed = 0
+    for ((_, p) <- eligible) { fs.delete(p, true); removed += 1 }
+    if (prev >= 0) { fs.delete(new Path(root, s"compacted-$prev"), true); removed += 1 }
+    removed
   }
 
   /** Reap crashed-write leftovers (never referenced by a reader). */

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.binlog.{BinlogGen, GenConfig, OracleFold}
+import graft.dedup.IntervalDedup
+import graft.lake.LakeTable
+import graft.model.{Schemas, Transcript}
+import graft.pipeline.Pipeline
+
+/** Pure interval-set algebra of the compressed dedup state. */
+class IntervalSetSpec extends AnyFunSuite {
+  import IntervalDedup.{IntervalSet => S}
+
+  test("contains on empty / singleton / multi") {
+    assert(!S.contains(Array.empty[Long], 5))
+    val iv = Array(3L, 7L, 10L, 10L, 20L, 30L)
+    assert(S.contains(iv, 3) && S.contains(iv, 5) && S.contains(iv, 7))
+    assert(S.contains(iv, 10) && !S.contains(iv, 9) && !S.contains(iv, 11))
+    assert(S.contains(iv, 20) && S.contains(iv, 25) && S.contains(iv, 30))
+    assert(!S.contains(iv, 2) && !S.contains(iv, 31))
+  }
+
+  test("addSorted coalesces dense runs to one interval") {
+    val iv = S.addSorted(Array.empty[Long], (1L to 1000L).toArray)
+    assert(iv.toSeq == Seq(1L, 1000L))
+  }
+
+  test("addSorted merges points into and across existing intervals") {
+    val base = Array(1L, 5L, 10L, 15L)
+    // 6..9 bridges the gap: [1,5]+[6..9]+[10,15] -> [1,15]
+    assert(S.addSorted(base, (6L to 9L).toArray).toSeq == Seq(1L, 15L))
+    // straggler far away stays its own interval
+    assert(S.addSorted(base, Array(100L)).toSeq == Seq(1L, 5L, 10L, 15L, 100L, 100L))
+    // adjacent extension on both sides
+    assert(S.addSorted(base, Array(0L, 16L)).toSeq == Seq(0L, 5L, 10L, 16L))
+  }
+
+  test("addSorted vs naive set model (randomized)") {
+    val rnd = new scala.util.Random(42)
+    var iv = Array.empty[Long]
+    var model = Set.empty[Long]
+    for (_ <- 1 to 50) {
+      val pts = Array.fill(rnd.nextInt(40) + 1)(rnd.nextInt(300).toLong)
+        .distinct.sorted
+      iv = S.addSorted(iv, pts)
+      model ++= pts
+      // invariant: sorted, disjoint, non-adjacent
+      val pairs = iv.grouped(2).map(a => (a(0), a(1))).toSeq
+      assert(pairs.forall { case (s, e) => s <= e })
+      assert(pairs.sliding(2).forall {
+        case Seq((_, e1), (s2, _)) => s2 > e1 + 1
+        case _ => true
+      })
+      for (x <- 0L to 310L)
+        assert(S.contains(iv, x) == model.contains(x), s"lsn $x")
+    }
+  }
+
+}
+
+/** End-to-end pipeline runs with the interval dedup as the transport stage:
+  * the same redelivery suites the hash dedup passes, plus a state-size
+  * assertion (the point of the operator).
+  */
+class IntervalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def liveState(lake: LakeTable): Vector[Transcript] =
+    lake.read(spark)
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "_lsn", "_op")
+      .as[Transcript].collect().toVector.sortBy(t => (t.conv_id, t.turn_idx))
+
+  test("duplicates across segments collapse (interval dedup)") {
+    val cfg = GenConfig(seed = 23, numConvs = 30, eventsPerConv = 20)
+    val events = BinlogGen.events(cfg)
+    val dup = events ++ events.filter(_.lsn % 7 == 0) ++ events.take(40)
+    val work = tmpDir("ivdedup1")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(dup.sortBy(_.lsn)).toDF(), s"$work/binlog", 6)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 8)
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 2, dedupImpl = "interval")
+    assert(liveState(lake) == OracleFold.finalState(events))
+  }
+
+  test("interval state stays O(buckets), not O(events)") {
+    // 6000 dense lsns -> at shift 14 they span exactly 1-2 range buckets;
+    // the hash dedup would hold 6000 state rows.
+    val cfg = GenConfig(seed = 29, numConvs = 100, eventsPerConv = 30)
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("ivdedup2")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(events).toDF(), s"$work/binlog", 4)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 8)
+    @volatile var maxStateRows = -1L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach(so =>
+          maxStateRows = math.max(maxStateRows, so.numRowsTotal))
+    }
+    spark.streams.addListener(listener)
+    try {
+      Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+        maxFilesPerTrigger = 2, dedupImpl = "interval")
+    } finally {
+      // listener bus is async; drain before asserting
+      val deadline = System.currentTimeMillis() + 10000
+      while (maxStateRows < 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      spark.streams.removeListener(listener)
+    }
+    assert(liveState(lake) == OracleFold.finalState(BinlogGen.events(cfg)))
+    val totalEvents = events.size
+    assert(maxStateRows >= 0)
+    assert(maxStateRows <= totalEvents / 100,
+      s"state rows $maxStateRows not compressed vs $totalEvents events")
+  }
+
+  test("stop/restart: redelivery across restart collapses; state resumes") {
+    val cfg = GenConfig(seed = 31, numConvs = 40, eventsPerConv = 20)
+    val events = BinlogGen.events(cfg)
+    val firstHalf = events.filter(_.lsn < events(events.size / 2).lsn)
+    val work = tmpDir("ivdedup3")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the source contract is lsn-ordered segment replay (WAL semantics) —
+    // copied fixtures must keep strictly increasing mtimes like
+    // writeSegments does, or the file source may reorder equal-mtime files
+    def deliver(src: String, prefix: String, mtime0: Long): Unit =
+      for ((p, i) <- fs.listStatus(new Path(src)).map(_.getPath)
+          .sortBy(_.getName).zipWithIndex) {
+        val to = new Path(s"$work/binlog", prefix + p.getName)
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, to, false,
+          spark.sparkContext.hadoopConfiguration)
+        fs.setTimes(to, mtime0 + i * 1000L, -1)
+      }
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(firstHalf).toDF(), s"$work/seg-a", 3)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 8)
+    fs.mkdirs(new Path(s"$work/binlog"))
+    deliver(s"$work/seg-a", "a-", BinlogGen.BaseMs)
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 1, dedupImpl = "interval")
+    // restart: remaining events + a redelivered slice of the first half
+    val rest = events.filterNot(firstHalf.contains) ++ firstHalf.take(30)
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(rest.sortBy(_.lsn)).toDF(), s"$work/seg-b", 3)
+    deliver(s"$work/seg-b", "b-", BinlogGen.BaseMs + 100000L)
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 1, dedupImpl = "interval")
+    assert(liveState(lake) == OracleFold.finalState(events))
+  }
+}

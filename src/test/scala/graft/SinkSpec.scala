@@ -81,6 +81,57 @@ class SinkSpec extends SparkSpec {
     assert(raw.vacuumTmp() == 1)
   }
 
+  test("incremental normalize folds only pending batches; compaction bounds the raw log") {
+    val addAt = 2L * 40 * 20 * 3 / 4 + 1 // odd lsn in the second half
+    val cfg = GenConfig(seed = 71, numConvs = 40, eventsPerConv = 20,
+      pctUpdate = 0.3, pctDelete = 0.1, addToolAtLsn = Some(addAt))
+    val events = BinlogGen.events(cfg)
+    val cut = events(events.size / 2).lsn
+    val (firstHalf, secondHalf) = events.partition(_.lsn < cut)
+    val work = tmpDir("sinkincr")
+    val raw = new RawAppendSink(s"$work/raw",
+      spark.sparkContext.hadoopConfiguration)
+
+    def batchOf(evs: Seq[graft.model.ChangeEvent]) =
+      spark.createDataset(evs.toVector).toDF()
+    // sync phase 1: two raw batches
+    val (b0, b1) = firstHalf.splitAt(firstHalf.size / 2)
+    raw.applyBatch(spark, batchOf(b0), 0L)
+    raw.applyBatch(spark, batchOf(b1), 1L)
+    // first incremental fold: equals the oracle over the first half,
+    // and the normalize watermark advanced to the max folded batch id
+    assert(payload(raw.normalizeIncremental(spark)) ==
+      payloadOf(OracleFold.finalState(firstHalf, Map("tool" -> addAt))))
+    assert(raw.normalizedLake(spark).snapshot().batchId == 1L)
+    // no new batches -> pure read: no new lake commit happens
+    val vBefore = raw.normalizedLake(spark).snapshot().version
+    raw.normalizeIncremental(spark)
+    assert(raw.normalizedLake(spark).snapshot().version == vBefore)
+
+    // compaction: batches <= watermark coalesce into one dir; replays of
+    // compacted ids stay no-ops; the readable event set is unchanged
+    val nRaw = raw.read(spark).count()
+    assert(raw.compactRaw(spark) == 2)
+    assert(raw.compactedUpTo == 1L)
+    assert(raw.read(spark).count() == nRaw)
+    raw.applyBatch(spark, batchOf(b0), 0L) // replay of compacted batch
+    assert(raw.read(spark).count() == nRaw)
+
+    // sync phase 2. Before folding, REMOVE the compacted history: if the
+    // second fold touched anything but the pending `batch=` dirs it would
+    // now miss data — equality with the full oracle proves the fold read
+    // ONLY `(watermark, maxId]`, the reference's normalizer contract.
+    val (b2, b3) = secondHalf.splitAt(secondHalf.size / 2)
+    raw.applyBatch(spark, batchOf(b2), 2L)
+    raw.applyBatch(spark, batchOf(b3), 3L)
+    val fs = new org.apache.hadoop.fs.Path(raw.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(raw.root, "compacted-1"), true)
+    assert(payload(raw.normalizeIncremental(spark)) ==
+      payloadOf(OracleFold.finalState(events, Map("tool" -> addAt))))
+    assert(raw.normalizedLake(spark).snapshot().batchId == 3L)
+  }
+
   test("T13: sink failure halts the stream loudly; restart resumes exactly-once") {
     val cfg = GenConfig(seed = 67, numConvs = 40, eventsPerConv = 20,
       pctUpdate = 0.3, pctDelete = 0.1)
