@@ -34,6 +34,9 @@ object Bench {
           try { fn(spark, sfDir).count(); None }
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}") }
+        // no cross-query (or cross-pass) cache freeloading: every sample
+        // pays its query's full honest cost
+        graft.queries.DataOps.releaseLeases()
         name -> ((System.nanoTime() - t0) / 1e9, err)
       }
     val passes = (1 to k).map(_ => onePass())

@@ -97,6 +97,14 @@ object CdcRunner {
       val liveRows = raw.normalize(spark).count()
       println(f"[cdc] raw-append: staged $rawRows raw events in $secs%.1f s " +
         f"(${rawRows / secs}%.0f events/s); normalize -> $liveRows live rows")
+      // production normalize path: fold pending batches into the
+      // persistent normalized table, then compact the folded raw history
+      val incRows = raw.normalizeIncremental(spark).count()
+      val compacted = raw.compactRaw(spark)
+      println(s"[cdc] raw-append incremental: normalized table = $incRows " +
+        s"live rows (watermark batch " +
+        s"${raw.normalizedLake(spark).snapshot().batchId}); " +
+        s"compacted $compacted staged dirs")
       spark.stop()
       return
     }

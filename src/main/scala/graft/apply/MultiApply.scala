@@ -21,12 +21,20 @@ object MultiApply {
     * events skipped because their table is untracked. The batch must carry
     * a `table` column; each lake keeps its own batchId guard, so replaying
     * a batch is a per-table no-op exactly as in the single-table path.
+    *
+    * Per-table MERGEs run as CONCURRENT Spark jobs (destination lakes are
+    * independent snapshot logs, so their commits don't contend): at
+    * reference-like 25 tables, sequential apply paid 25 serial commit
+    * rounds of small-stage job time per micro-batch — the serial floor the
+    * round-3 audit flagged. `maxConcurrent` bounds the job fan-out so a
+    * wide table set can't oversubscribe the scheduler.
     */
   def applyBatch(
       spark: SparkSession,
       lakes: Map[String, LakeTable],
       batch: DataFrame,
-      batchId: Long): Long = {
+      batchId: Long,
+      maxConcurrent: Int = 8): Long = {
     // Persist once: every tracked table re-reads the batch for its own
     // filtered MERGE — without the cache that is one source scan per table
     // (at reference-like 25 tables, 25 scans of the same micro-batch).
@@ -45,11 +53,38 @@ object MultiApply {
         .head()
       val present = pre.getSeq[String](0)
       val skipped = pre.getLong(1)
-      // deterministic apply order; each MERGE scans the cached batch, not
-      // the source
-      for (t <- present.filter(tracked).sorted)
-        MergeApply.applyBatch(spark, lakes(t),
-          cached.filter(col("table") === t).drop("table"), batchId)
+      val targets = present.filter(tracked).sorted
+      if (targets.size <= 1 || maxConcurrent <= 1) {
+        for (t <- targets)
+          MergeApply.applyBatch(spark, lakes(t),
+            cached.filter(col("table") === t).drop("table"), batchId)
+      } else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(targets.size, maxConcurrent))
+        try {
+          val futures = targets.map { t =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                MergeApply.applyBatch(spark, lakes(t),
+                  cached.filter(col("table") === t).drop("table"), batchId)
+                ()
+              }
+            })
+          }
+          // propagate the FIRST failure (unwrapped) — a failing table must
+          // halt the stream exactly as in the sequential path
+          futures.foreach { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
+        } finally {
+          pool.shutdownNow()
+          ()
+        }
+      }
       skipped
     } finally {
       cached.unpersist()

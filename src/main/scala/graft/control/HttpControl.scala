@@ -1,0 +1,107 @@
+package graft.control
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** Thin HTTP facade over [[Control]] — the ops-parity analog of the
+  * reference's axum control server (reference: src/control/mod.rs:19-32,
+  * handlers.rs:81-312). Verbs:
+  *
+  *   GET  /status    → engine status JSON (handlers.rs:255-291)
+  *   GET  /metrics   → recent per-batch rate/lag samples (metrics_sampler)
+  *   POST /pause     → graceful pause at the next batch boundary
+  *   POST /resume    → restart against the same checkpoint
+  *   POST /drain     → process the available backlog, then stop
+  *   POST /snapshot  → on-demand re-snapshot trigger (handlers.rs:103-180;
+  *                     requires paused stream, HTTP 409 otherwise)
+  *
+  * Deliberately JDK-only (com.sun.net.httpserver): the control plane is an
+  * ops convenience, not a data path — it must add zero dependencies and
+  * zero load. JSON is assembled by hand for the same reason.
+  */
+final class HttpControl(ctl: Control, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Bound port (useful with port=0 = ephemeral). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def handler(f: HttpExchange => (Int, String)): HttpHandler =
+    new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        try {
+          val (code, body) = f(ex)
+          reply(ex, code, body)
+        } catch {
+          case e: Throwable =>
+            reply(ex, 500, s"""{"error":${HttpControl.q(e.toString)}}""")
+        }
+    }
+
+  private def postOnly(ex: HttpExchange)(body: => (Int, String)) =
+    if (ex.getRequestMethod != "POST")
+      (405, """{"error":"POST required"}""")
+    else body
+
+  private def statusJson: String = {
+    val s = ctl.status()
+    s"""{"running":${s.running},"snapshotVersion":${s.snapshotVersion},""" +
+      s""""batchId":${s.batchId},"endLsn":${s.endLsn},""" +
+      s""""schemaVersion":${s.schemaVersion},"backfillDone":${s.backfillDone},""" +
+      s""""rowCount":${s.rowCount},"lastBatchWallMs":${s.lastBatchWallMs},""" +
+      s""""skippedEvolutions":${s.lastBatchSkippedEvolutions},""" +
+      s""""eventsPerSec":${s.eventsPerSec},"lagMs":${s.lagMs}}"""
+  }
+
+  server.createContext("/status", handler(_ => (200, statusJson)))
+  server.createContext("/metrics", handler { _ =>
+    val rows = ctl.metrics.samples.map(m =>
+      s"""{"batchId":${m.batchId},"tsMs":${m.tsMs},""" +
+        s""""inputRows":${m.inputRows},"eventsPerSec":${m.eventsPerSec},""" +
+        s""""lagMs":${m.lagMs}}""")
+    (200, rows.mkString("[", ",", "]"))
+  })
+  server.createContext("/pause", handler { ex =>
+    postOnly(ex) { ctl.pause(); (200, statusJson) }
+  })
+  server.createContext("/resume", handler { ex =>
+    postOnly(ex) { ctl.resume(); (200, statusJson) }
+  })
+  server.createContext("/drain", handler { ex =>
+    postOnly(ex) { ctl.drain(); (200, statusJson) }
+  })
+  server.createContext("/snapshot", handler { ex =>
+    postOnly(ex) {
+      if (ctl.isRunning)
+        (409, """{"error":"pause the stream before triggering a snapshot"}""")
+      else { ctl.triggerSnapshot(); (200, statusJson) }
+    }
+  })
+
+  def start(): HttpControl = { server.start(); this }
+
+  def stop(): Unit = server.stop(0)
+}
+
+object HttpControl {
+  private[control] def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

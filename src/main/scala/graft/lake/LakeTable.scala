@@ -126,18 +126,41 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       .map(n => n.stripPrefix("v").stripSuffix(".meta").toLong)
   }
 
+  // Manifest files are immutable and content-addressed by name (a commit
+  // writes NEW manifests for touched buckets, never rewrites one), so
+  // their parsed entries are cached per table handle: without this, every
+  // snapshot() — once per micro-batch apply plus once per backfill chunk —
+  // re-opened ALL bucket manifests sequentially on the driver (10^4-10^5
+  // FS opens per batch at 10^4-10^5 buckets). With the cache, a commit's
+  // snapshot read opens only the manifests that commit replaced.
+  // Bounded: superseded entries accumulate one generation per touched
+  // bucket per commit, so the cache is cleared when it outgrows a few
+  // generations of the table's bucket count.
+  @transient private lazy val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileEntry]]()
+
+  /** Count of actual manifest-file opens (cache misses) — test/diagnostic
+    * hook for the O(touched) read-path guarantee.
+    */
+  @transient @volatile private[graft] var manifestFileReads: Long = 0L
+
   def readSnapshot(version: Long): Snapshot = {
     val snap = SnapshotCodec.decode(readTextFile(metaPath(version)))
     if (snap.bucketManifests.isEmpty) snap
     else {
-      // resolve the manifest list: one small sequential file per bucket
+      if (manifestCache.size > math.max(1024, 4 * snap.numBuckets))
+        manifestCache.clear()
       val resolved = snap.bucketManifests.toSeq.sortBy(_._1)
         .flatMap { case (b, rel) =>
-          readTextFile(new Path(root, rel)).split('\n').filter(_.nonEmpty)
-            .map { line =>
-              val i = line.indexOf('|')
-              DataFileEntry(b, line.substring(0, i).toInt, line.substring(i + 1))
-            }
+          manifestCache.computeIfAbsent(rel, { _ =>
+            manifestFileReads += 1
+            readTextFile(new Path(root, rel)).split('\n').filter(_.nonEmpty)
+              .toSeq.map { line =>
+                val i = line.indexOf('|')
+                DataFileEntry(b, line.substring(0, i).toInt,
+                  line.substring(i + 1))
+              }
+          })
         }
       snap.copy(files = snap.files ++ resolved)
     }
@@ -273,11 +296,15 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     files.groupBy(_.bucket).map { case (b, fse) =>
       val name =
         f"m$version%012d-$b-${UUID.randomUUID().toString.take(8)}.mf"
+      val sorted = fse.sortBy(_.relPath)
       val out = fs.create(new Path(manifestsDir, name), true)
-      try out.write(fse.sortBy(_.relPath)
+      try out.write(sorted
         .map(f => s"${f.schemaVersion}|${f.relPath}\n")
         .mkString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      // warm the resolution cache: the committer's own next snapshot()
+      // then opens zero manifest files
+      manifestCache.put(s"_manifests/$name", sorted)
       b -> s"_manifests/$name"
     }
   }

@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object DataOps {
 
+  // Result frames of the LSH-style ops stay persisted when returned (the
+  // caller consumes a materialized plan whose cached intermediates are
+  // already released). They are LEASED: registered here and unpersisted at
+  // the next leasing-op invocation or an explicit releaseLeases() — so a
+  // long session holds at most the last result's cache, not one entry per
+  // past invocation (the round-3 ADVICE leak).
+  private val leased =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def lease(df: DataFrame): DataFrame = { leased.add(df); df }
+
+  /** Unpersist every previously returned (leased) result frame. */
+  def releaseLeases(): Unit = {
+    var df = leased.poll()
+    while (df != null) { df.unpersist(); df = leased.poll() }
+  }
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
@@ -109,10 +126,11 @@ object DataOps {
       .persist()
     out.count() // materialize while `bands` is still cached
     bands.unpersist()
-    out
+    lease(out)
   }
 
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    releaseLeases()
     val sh = shingles(spark, sfDir).persist()
     try lshPairsFrom(sh) finally { sh.unpersist(); () }
   }
@@ -136,6 +154,7 @@ object DataOps {
     * shuffles on (pair, shingle) — still an equi-join, never O(n²).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    releaseLeases()
     // ONE shingle subtree shared by the candidate generator and the exact
     // verify (round 2 computed it twice: once inside minhashLshPairs, once
     // here), persisted for the run and released before returning.
@@ -161,7 +180,7 @@ object DataOps {
         .persist()
       out.count()
       pairs.unpersist()
-      out
+      lease(out)
     } finally {
       sh.unpersist()
       ()
@@ -410,7 +429,7 @@ object DataOps {
       .persist()
     out.count() // materialize while `bands` is still cached
     bands.unpersist()
-    out
+    lease(out)
   }
 
   /** Driver query = fixture prep + the pure operator. The synthetic corpus
@@ -421,6 +440,7 @@ object DataOps {
     * arithmetic, so the oracle plants identical copies.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    releaseLeases()
     val q0 = quantized(spark, sfDir)
     val planted = q0.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("label"),

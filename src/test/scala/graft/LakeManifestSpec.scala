@@ -87,6 +87,42 @@ class LakeManifestSpec extends SparkSpec {
     assert(lake.readSnapshot(snap.version).files.toSet == snap.files.toSet)
   }
 
+  test("manifest resolution is cached: a commit re-reads O(touched) manifests") {
+    val buckets = 64
+    val lake = LakeTable(spark, tmpDir("mfcache"))
+    lake.create(Schemas.transcript, buckets)
+    val seed = (0 until 400).map(i =>
+      ev(2L * i + 2, Op.Insert, f"conv_$i%04d", 0, text = s"t$i"))
+    MergeApply.applyBatch(spark, lake, spark.createDataset(seed).toDF(), 0L)
+    assert(lake.snapshot().bucketManifests.size == buckets)
+
+    // steady state: repeated snapshot() reads open ZERO manifest files
+    // (writeManifests pre-warmed the committer's cache; immutable +
+    // content-addressed names make the memoization safe)
+    val r0 = lake.manifestFileReads
+    lake.snapshot(); lake.snapshot()
+    assert(lake.manifestFileReads == r0,
+      s"expected 0 manifest opens, got ${lake.manifestFileReads - r0}")
+
+    // a 1-bucket commit invalidates exactly that bucket's manifest; the
+    // next snapshot() resolves from cache for the other 63
+    MergeApply.applyBatch(spark, lake, spark.createDataset(
+      Seq(ev(1001, Op.Update, "conv_0007", 0, text = "t7b"))).toDF(), 1L)
+    val r1 = lake.manifestFileReads
+    lake.snapshot()
+    assert(lake.manifestFileReads == r1, "commit pre-warms its own manifests")
+
+    // a FRESH handle (new executor/driver attaching) pays one read per
+    // bucket once, then is warm
+    val fresh = LakeTable(spark, lake.root)
+    val f0 = fresh.manifestFileReads
+    fresh.snapshot()
+    assert(fresh.manifestFileReads - f0 == buckets)
+    fresh.snapshot()
+    assert(fresh.manifestFileReads - f0 == buckets)
+    assert(fresh.snapshot().files.toSet == lake.snapshot().files.toSet)
+  }
+
   test("vacuum sweeps superseded manifests, never referenced ones") {
     val lake = LakeTable(spark, tmpDir("mfvac"))
     lake.create(Schemas.transcript, 4)

@@ -59,4 +59,32 @@ class MultiTableSpec extends SparkSpec {
     MultiApply.applyBatch(spark, lakes, tagged, 0L)
     assert(lakes.forall { case (n, l) => liveState(l) == before(n) })
   }
+
+  test("8-table fan-out: concurrent per-table commits equal the oracle; failures propagate") {
+    val cfg = GenConfig(seed = 37, numConvs = 64, eventsPerConv = 15)
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("multi8")
+    val n = substring(col("conv_id"), 6, 8).cast("int")
+    val tagged = spark.createDataset(events).toDF()
+      .withColumn("table", concat(lit("t"), (n % 8).cast("string")))
+    val lakes = (0 until 8).map(i =>
+      s"t$i" -> LakeTable(spark, s"$work/lake-$i")).toMap
+    lakes.values.foreach(_.create(Schemas.transcript, 4))
+
+    val skipped = MultiApply.applyBatch(spark, lakes, tagged, 0L,
+      maxConcurrent = 8)
+    assert(skipped == 0)
+    for (i <- 0 until 8) {
+      val want = OracleFold.finalState(events.filter(e =>
+        e.conv_id != null && e.conv_id.stripPrefix("conv_").toInt % 8 == i))
+      assert(liveState(lakes(s"t$i")) == want, s"table t$i diverged")
+    }
+
+    // a failing table's error propagates out of the concurrent fan-out
+    val bad = lakes + ("t3" -> LakeTable(spark, s"$work/nonexistent"))
+    val ex = intercept[Exception] {
+      MultiApply.applyBatch(spark, bad, tagged, 1L, maxConcurrent = 8)
+    }
+    assert(ex != null)
+  }
 }
