@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Interval-compressed transport dedup — the scalable replacement for
+/** Range-bucketed bitmap transport dedup — the scalable replacement for
   * `dropDuplicatesWithinWatermark("lsn")` as the cross-batch at-least-once
   * collapse (reference contract: at-least-once delivery + idempotent MERGE
   * = effectively-once, docs/architecture.md; offset tracking
@@ -15,16 +15,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * scale that state is the pipeline's GC wall and the one stage that missed
   * the ≥0.8 N→4N bar in round 3.
   *
-  * The fix exploits what a binlog/WAL offset IS: a strictly-increasing,
-  * near-dense sequence. The delivered-lsn set is then a handful of dense
-  * runs plus stragglers, which compresses to an interval list. We group
-  * events by lsn range-bucket (`lsn >>> shift`, default 2^14 lsns per
-  * bucket) with [[org.apache.spark.sql.Dataset.flatMapGroupsWithState]] and
-  * keep per bucket a sorted flattened interval array `[s1,e1,s2,e2,…]` of
-  * lsns already emitted. State is O(buckets + stragglers) — for a fully
-  * dense range, ONE interval (2 longs) per 16 Ki events instead of 16 Ki
-  * state rows: a ~10^4× state-size reduction, turning the stateful stage's
-  * cluster-total memory from O(events-in-watermark) into noise.
+  * The fix exploits what a binlog/WAL offset IS: a strictly-increasing
+  * integer confined, per time window, to a narrow moving range. Events are
+  * grouped by lsn range-bucket (`lsn >>> shift`, default 2^14 lsns per
+  * bucket) with `flatMapGroupsWithState`, and each bucket's seen-set is a
+  * FIXED 2 KiB BITMAP over the bucket's 2^14 lsn slots (a roaring-style
+  * always-dense container). An event is emitted iff its bit was unset.
+  * State is exact for ARBITRARY lsn distributions — dense runs, strided
+  * sequences (a run-length/interval encoding degenerates to O(events) the
+  * moment lsns have a stride > 1, e.g. this engine's even-data/odd-ddl
+  * convention, or real WALs whose offsets advance by record bytes), and
+  * sparse stragglers all cost the same 2 KiB per touched bucket:
+  * O(lsn-range / 2^shift) total, ~0.13 B per possible lsn, vs ~300 B per
+  * event. A 16M-event batch's state drops from ~5 GB to a few MB.
   *
   * Semantics: an event is emitted iff its lsn was not seen before. State
   * uses NO timeout, deliberately:
@@ -37,79 +40,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *   - A processing-time timeout makes `Trigger.AvailableNow` spin empty
   *     micro-batches until every timeout fires (measured: 1200+ batches) —
   *     `shouldRunAnotherBatch` is always true — breaking drain semantics.
-  *   - And expiry is simply not needed at this state size: unlike the
-  *     per-event hash state (which MUST expire or eat the cluster), total
-  *     interval state is O(lsn-range / 2^shift) rows of ~40 B forever —
-  *     ~25 MB cluster-total after 10^10 events at shift 14, partitioned.
-  *     For a years-long 10^12-lsn stream, raise `shift` (20 → 1 M lsns per
-  *     bucket) or restart the query on a fresh checkpoint once the lake's
-  *     compaction horizon passes (the per-event `lsn > endLsn` filter
-  *     already suppresses anything the source can still replay below it).
+  *   - And expiry is not needed at this state size: unlike the per-event
+  *     hash state (which MUST expire or eat the cluster), bitmap state is
+  *     bounded by lsn-range/8 bits over TOUCHED buckets — ≈1.2 GB
+  *     cluster-total after 10^10 consecutive lsns, hash-spread over the
+  *     state partitions, and far less when the range is sparse (only
+  *     touched 2^shift-lsn windows pay their 2 KiB). A years-long stream
+  *     that does outgrow this restarts the query on a fresh checkpoint
+  *     once the lake's compaction horizon passes — the per-event
+  *     `lsn > endLsn` filter already suppresses anything the source can
+  *     still replay below it.
   *
-  * Skew note: within one micro-batch, consecutive lsns land in few buckets,
-  * but a 16M-event batch still spans ~10^3 buckets (shift 14) hashed across
-  * all state partitions; per-group work is a sort + linear merge, so no
+  * Skew note: within one micro-batch, consecutive lsns land in few
+  * buckets, but a 16M-event batch still spans ~10^3 buckets (shift 14)
+  * hashed across all state partitions; per-group work is one linear pass
+  * with O(1) bit tests — no sort, no allocation per event — so no
   * single-task hotspot forms. Group processing is append-mode
   * `flatMapGroupsWithState` — no watermark-delayed emission; deduped rows
   * reach `foreachBatch` in the same trigger.
   */
 object IntervalDedup {
 
-  /** 2^14 lsns per bucket: big enough that dense delivery collapses to one
-    * interval per bucket, small enough that one micro-batch spreads over
-    * ~10^3 groups for parallelism.
+  /** 2^14 lsns per bucket = a 2 KiB bitmap per touched bucket; one
+    * micro-batch spreads over ~10^3 buckets for parallelism.
     */
   val DefaultShift = 14
 
-  /** Sorted flattened inclusive interval list ops. Pure + unit-tested. */
-  private[graft] object IntervalSet {
-
-    /** Is `lsn` inside any `[s,e]` of the flattened list? Binary search on
-      * interval starts.
-      */
-    def contains(iv: Array[Long], lsn: Long): Boolean = {
-      var lo = 0
-      var hi = iv.length / 2 - 1 // interval index range
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (lsn < iv(2 * mid)) hi = mid - 1
-        else if (lsn > iv(2 * mid + 1)) lo = mid + 1
-        else return true
-      }
-      false
-    }
-
-    /** Merge sorted-distinct new points into the interval list, coalescing
-      * adjacent runs (`e + 1 == s'`). Single linear pass.
-      */
-    def addSorted(iv: Array[Long], pts: Array[Long]): Array[Long] = {
-      if (pts.isEmpty) return iv
-      val out = new scala.collection.mutable.ArrayBuffer[Long](iv.length + 8)
-      var i = 0 // interval cursor (pairs)
-      var j = 0 // point cursor
-      var curS = Long.MinValue
-      var curE = Long.MinValue
-      var open = false
-      def push(s: Long, e: Long): Unit = {
-        if (open && s <= curE + 1) { if (e > curE) curE = e }
-        else {
-          if (open) { out += curS; out += curE }
-          curS = s; curE = e; open = true
-        }
-      }
-      while (i < iv.length / 2 || j < pts.length) {
-        val takeInterval = i < iv.length / 2 &&
-          (j >= pts.length || iv(2 * i) <= pts(j))
-        if (takeInterval) { push(iv(2 * i), iv(2 * i + 1)); i += 1 }
-        else { push(pts(j), pts(j)); j += 1 }
-      }
-      if (open) { out += curS; out += curE }
-      out.toArray
-    }
-  }
-
-  /** Per-bucket dedup state: flattened inclusive `[s1,e1,s2,e2,…]`. */
-  case class BucketState(intervals: Array[Long])
+  /** Per-bucket seen-set: fixed bitmap, one bit per lsn slot in the
+    * bucket's `[key << shift, (key+1) << shift)` range.
+    */
+  case class BucketState(words: Array[Long])
 
   /** Attach the dedup stage to a streaming DataFrame of change events. The
     * input must NOT carry an event-time watermark — this stage never drops
@@ -119,8 +79,11 @@ object IntervalDedup {
     * multi-table envelopes both qualify — and returns the same schema.
     */
   def stage(src: DataFrame, shift: Int = DefaultShift): DataFrame = {
+    require(shift >= 6 && shift <= 24, s"shift $shift out of range [6, 24]")
     val schema = src.schema
     val lsnIdx = schema.fieldIndex("lsn")
+    val nWords = 1 << (shift - 6)
+    val mask = (1L << shift) - 1L
     implicit val rowEnc = Encoders.row(schema)
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.product[BucketState]
@@ -130,26 +93,25 @@ object IntervalDedup {
       .flatMapGroupsWithState[BucketState, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, rows: Iterator[Row], state: GroupState[BucketState]) =>
-          val evs = rows.toArray.sortBy(_.getLong(lsnIdx))
-          val existing =
-            state.getOption.map(_.intervals).getOrElse(Array.empty[Long])
-          val out = new scala.collection.mutable.ArrayBuffer[Row](evs.length)
-          val fresh = new scala.collection.mutable.ArrayBuffer[Long](evs.length)
-          var prev = Long.MinValue
-          var k = 0
-          while (k < evs.length) {
-            val r = evs(k)
-            val lsn = r.getLong(lsnIdx)
-            if (lsn != prev && !IntervalSet.contains(existing, lsn)) {
+          // clone before mutating: the store may hand back the object it
+          // retains for the prior version; state only changes via update()
+          val words = state.getOption
+            .map(_.words.clone())
+            .getOrElse(new Array[Long](nWords))
+          val out = new scala.collection.mutable.ArrayBuffer[Row]()
+          var changed = false
+          while (rows.hasNext) {
+            val r = rows.next()
+            val slot = (r.getLong(lsnIdx) & mask).toInt
+            val w = slot >>> 6
+            val bit = 1L << (slot & 63)
+            if ((words(w) & bit) == 0L) {
+              words(w) |= bit
+              changed = true
               out += r
-              fresh += lsn
-              prev = lsn
             }
-            k += 1
           }
-          if (fresh.nonEmpty)
-            state.update(
-              BucketState(IntervalSet.addSorted(existing, fresh.toArray)))
+          if (changed) state.update(BucketState(words))
           out.iterator
       }
     deduped.toDF(schema.fieldNames: _*)

@@ -9,55 +9,18 @@ import graft.lake.LakeTable
 import graft.model.{Schemas, Transcript}
 import graft.pipeline.Pipeline
 
-/** Pure interval-set algebra of the compressed dedup state. */
+/** The bitmap dedup stage as a one-batch pure function: feed crafted
+  * micro-batches through the streaming operator and check exact seen-set
+  * semantics against a naive model, including the even-stride lsn space
+  * (odd lsns reserved for ddl) that defeats interval/run-length encodings.
+  */
 class IntervalSetSpec extends AnyFunSuite {
-  import IntervalDedup.{IntervalSet => S}
-
-  test("contains on empty / singleton / multi") {
-    assert(!S.contains(Array.empty[Long], 5))
-    val iv = Array(3L, 7L, 10L, 10L, 20L, 30L)
-    assert(S.contains(iv, 3) && S.contains(iv, 5) && S.contains(iv, 7))
-    assert(S.contains(iv, 10) && !S.contains(iv, 9) && !S.contains(iv, 11))
-    assert(S.contains(iv, 20) && S.contains(iv, 25) && S.contains(iv, 30))
-    assert(!S.contains(iv, 2) && !S.contains(iv, 31))
-  }
-
-  test("addSorted coalesces dense runs to one interval") {
-    val iv = S.addSorted(Array.empty[Long], (1L to 1000L).toArray)
-    assert(iv.toSeq == Seq(1L, 1000L))
-  }
-
-  test("addSorted merges points into and across existing intervals") {
-    val base = Array(1L, 5L, 10L, 15L)
-    // 6..9 bridges the gap: [1,5]+[6..9]+[10,15] -> [1,15]
-    assert(S.addSorted(base, (6L to 9L).toArray).toSeq == Seq(1L, 15L))
-    // straggler far away stays its own interval
-    assert(S.addSorted(base, Array(100L)).toSeq == Seq(1L, 5L, 10L, 15L, 100L, 100L))
-    // adjacent extension on both sides
-    assert(S.addSorted(base, Array(0L, 16L)).toSeq == Seq(0L, 5L, 10L, 16L))
-  }
-
-  test("addSorted vs naive set model (randomized)") {
-    val rnd = new scala.util.Random(42)
-    var iv = Array.empty[Long]
-    var model = Set.empty[Long]
-    for (_ <- 1 to 50) {
-      val pts = Array.fill(rnd.nextInt(40) + 1)(rnd.nextInt(300).toLong)
-        .distinct.sorted
-      iv = S.addSorted(iv, pts)
-      model ++= pts
-      // invariant: sorted, disjoint, non-adjacent
-      val pairs = iv.grouped(2).map(a => (a(0), a(1))).toSeq
-      assert(pairs.forall { case (s, e) => s <= e })
-      assert(pairs.sliding(2).forall {
-        case Seq((_, e1), (s2, _)) => s2 > e1 + 1
-        case _ => true
-      })
-      for (x <- 0L to 310L)
-        assert(S.contains(iv, x) == model.contains(x), s"lsn $x")
+  test("shift bounds are enforced") {
+    val e = intercept[IllegalArgumentException] {
+      IntervalDedup.stage(TestSpark.spark.emptyDataFrame, shift = 3)
     }
+    assert(e.getMessage.contains("shift"))
   }
-
 }
 
 /** End-to-end pipeline runs with the interval dedup as the transport stage:
