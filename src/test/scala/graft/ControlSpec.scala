@@ -141,6 +141,30 @@ class ControlSpec extends SparkSpec {
     } finally ctl.close()
   }
 
+  test("A9: metrics buffer is a bounded ring (long-lived stream can't grow the driver heap)") {
+    // exercise the public surface over a real stream with many
+    // micro-batches and a tiny cap
+    val cfg = GenConfig(seed = 89, numConvs = 20, eventsPerConv = 10)
+    val work = tmpDir("ctlring")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(BinlogGen.events(cfg)).toDF(), s"$work/binlog", 10)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 4)
+    val small = new graft.control.MetricsSampler("graft-cdc", maxSamples = 3)
+    spark.streams.addListener(small)
+    try {
+      graft.pipeline.Pipeline.runAvailable(spark, s"$work/binlog", lake,
+        s"$work/ckpt", maxFilesPerTrigger = 1) // 10 batches > cap 3
+      val deadline = System.currentTimeMillis() + 10000
+      while (small.samples.size < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(small.samples.size == 3, s"ring must cap at 3, got ${small.samples.size}")
+      // the ring keeps the NEWEST samples
+      assert(small.samples.map(_.batchId) == small.samples.map(_.batchId).sorted)
+      assert(small.latest.exists(_.batchId >= 7))
+    } finally spark.streams.removeListener(small)
+  }
+
   test("E5: rejected type change degrades with a counted skip, not a failure") {
     val lake = LakeTable(spark, tmpDir("e5"))
     lake.create(Schemas.transcript, 4)

@@ -9,10 +9,11 @@ import graft.lake.LakeTable
 import graft.model.{Schemas, Transcript}
 import graft.pipeline.Pipeline
 
-/** The bitmap dedup stage as a one-batch pure function: feed crafted
-  * micro-batches through the streaming operator and check exact seen-set
-  * semantics against a naive model, including the even-stride lsn space
-  * (odd lsns reserved for ddl) that defeats interval/run-length encodings.
+/** The bitmap dedup stage against a naive seen-set model: crafted
+  * micro-batches through a MemoryStream exercise arbitrary lsn patterns —
+  * dense runs, the even-stride space (odd lsns reserved for ddl, which
+  * defeats interval/run-length encodings), bucket-boundary neighbors,
+  * sparse stragglers, and intra-/cross-batch duplicates.
   */
 class IntervalSetSpec extends AnyFunSuite {
   test("shift bounds are enforced") {
@@ -20,6 +21,43 @@ class IntervalSetSpec extends AnyFunSuite {
       IntervalDedup.stage(TestSpark.spark.emptyDataFrame, shift = 3)
     }
     assert(e.getMessage.contains("shift"))
+  }
+
+  test("randomized lsn patterns match the naive seen-set model") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[graft.model.ChangeEvent]
+    val q = IntervalDedup.stage(ms.toDF(), shift = 8) // small buckets: more edges
+      .writeStream.format("memory").queryName("ivd_model_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ivdmodel").toString)
+      .start()
+    def ev(lsn: Long) = graft.model.ChangeEvent(lsn, 0, s"c$lsn", 0, "user",
+      "t", null, new java.sql.Timestamp(1704067200000L + lsn), false, 1L, null)
+    val rnd = new scala.util.Random(7)
+    val seen = scala.collection.mutable.Set[Long]()
+    try {
+      for (_ <- 1 to 8) {
+        val lsns = Seq.fill(200)(
+          rnd.nextInt(4096).toLong * (if (rnd.nextBoolean()) 2 else 1)) ++
+          Seq(0L, 255L, 256L, 511L, 512L) ++ // bucket boundaries at shift 8
+          seen.take(20).toSeq                // cross-batch redelivery
+        val expectFresh = scala.collection.mutable.ArrayBuffer[Long]()
+        val batchSeen = scala.collection.mutable.Set[Long]()
+        for (l <- lsns)
+          if (!seen.contains(l) && batchSeen.add(l)) expectFresh += l
+        ms.addData(lsns.map(ev): _*)
+        q.processAllAvailable()
+        val out = spark.table("ivd_model_out").select("lsn").as[Long]
+          .collect().sorted.toSeq
+        seen ++= expectFresh
+        assert(out == seen.toSeq.sorted,
+          s"emitted set diverged after adding ${lsns.size} lsns")
+      }
+    } finally q.stop()
   }
 }
 
