@@ -119,6 +119,25 @@ object CdcRunner {
       if (acts.nonEmpty) println(s"[cdc] startup schema reconcile: $acts")
     }
 
+    // Daemon shape (the reference's deployment form, src/main.rs:1-27 +
+    // control server src/control/mod.rs:19-32): continuous 5 s trigger +
+    // HTTP control plane, until killed or --daemon-seconds elapse.
+    // Without --daemon-seconds, drain mode processes the available log
+    // and exits (the test/bench shape).
+    val daemonSecs = opt.get("--daemon-seconds").map(_.toLong)
+    val httpPort = opt.get("--http-port").map(_.toInt)
+    if (daemonSecs.isDefined) {
+      val ctl = new graft.control.Control(spark, binlogDir, lake, ckptDir,
+        maxFilesPerTrigger = fpt)
+      val http = httpPort.map(p => new graft.control.HttpControl(ctl, p).start())
+      http.foreach(h => println(s"[cdc] control listening on :${h.boundPort}"))
+      ctl.resume()
+      Thread.sleep(daemonSecs.get * 1000L)
+      ctl.drain() // finish the backlog before reporting
+      http.foreach(_.stop())
+      ctl.close()
+    }
+
     val t0 = System.nanoTime()
     Pipeline.runAvailable(spark, binlogDir, lake, ckptDir,
       maxFilesPerTrigger = fpt)
