@@ -48,6 +48,8 @@ object SparkEntry {
     "text_quality" -> (DataOps.textQuality(_, _)),
     "text_fingerprint" -> (DataOps.textFingerprint(_, _)),
     "multimodal_meta" -> (DataOps.multimodalMeta(_, _)),
+    "text_contamination" -> (DataOps.textContamination(_, _)),
+    "text_pii_scrub" -> (DataOps.piiScrub(_, _)),
     // --- general analytics (joins/aggs/windows on Catalyst built-ins) ---
     "q1_agg" -> (Analytics.q1Agg(_, _)),
     "q3_join" -> (Analytics.q3Join(_, _)),
@@ -84,6 +86,8 @@ object SparkEntry {
     "text_quality" -> DataOps.textQualitySql,
     "text_fingerprint" -> DataOps.textFingerprintSql,
     "multimodal_meta" -> DataOps.multimodalMetaSql,
+    "text_contamination" -> DataOps.textContaminationSql,
+    "text_pii_scrub" -> DataOps.piiScrubSql,
     "q1_agg" -> Analytics.q1AggSql,
     "q3_join" -> Analytics.q3JoinSql,
     "q_window" -> Analytics.userWindowSql)

@@ -643,4 +643,81 @@ object DataOps {
       |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
       |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS frames
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- contamination / PII
+
+  /** Benchmark-contamination check — the training-pipeline op that keeps
+    * eval sets out of the corpus: every 97th doc stands in for the
+    * benchmark set; each remaining doc is scored by how many of its
+    * distinct word 3-grams appear in ANY benchmark doc. Scale shape: one
+    * shared shingle subtree, one DISTINCT on the (small) benchmark side,
+    * one shuffle equi-join on the shingle string, one count aggregation —
+    * never a doc × benchmark cross product. At 100 TB the benchmark side
+    * is broadcast-sized by construction.
+    */
+  def textContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val isBench = col("doc_id") % 97 === 0
+    val benchSh = sh.filter(isBench).select(col("sh")).distinct()
+    val cand = sh.filter(!isBench)
+    val hits = cand.join(benchSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("hit_ngrams"))
+    cand.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("hit_ngrams"), lit(0L)).as("hit_ngrams"),
+        col("n_ngrams"),
+        (coalesce(col("hit_ngrams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val textContaminationSql: String =
+    shinglesSql + """,
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      |cand AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+      |hits AS (
+      |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS hit_ngrams
+      |  FROM cand c JOIN bench b ON c.sh = b.sh GROUP BY c.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(h.hit_ngrams, 0) AS BIGINT) AS hit_ngrams,
+      |  CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+      |  coalesce(h.hit_ngrams, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id, count(*) AS n_ngrams FROM cand GROUP BY doc_id) t
+      |LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** PII scrub: redact email addresses and count redactions per doc. The
+    * synthetic corpus carries no PII, so the FIXTURE plants a
+    * deterministic address on every 10th doc; the operator (regex
+    * redaction — identical semantics in Java regex and RE2 for this
+    * character-class pattern) must find exactly those. Pure map — no
+    * shuffle at all; codegen'd `regexp_replace`/`regexp_count`.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = docs(spark, sfDir).select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" contact-"), col("doc_id").cast("string"),
+          lit("@mail.example.com ok")))
+        .otherwise(col("text")).as("t"))
+    val pat = "[a-z0-9.]+@[a-z0-9.]+"
+    planted.select(
+      col("doc_id"),
+      expr(s"CAST(regexp_count(t, '$pat') AS BIGINT)").as("n_emails"),
+      expr(s"regexp_replace(t, '$pat', '<email>')").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0
+      |      THEN text || ' contact-' || CAST(doc_id AS VARCHAR) || '@mail.example.com ok'
+      |      ELSE text END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+      |  regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g') AS clean_text
+      |FROM planted ORDER BY doc_id""".stripMargin
 }

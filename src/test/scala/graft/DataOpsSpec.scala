@@ -57,4 +57,40 @@ class DataOpsSpec extends SparkSpec {
     assert(verified.map(v => (v._1, v._2)).toSet == pairs)
     assert(verified.forall(v => v._3 >= 0 && v._3 <= 10000))
   }
+
+  test("contamination check matches a naive 3-gram overlap model") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      val ws = t.trim.split(" ")
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.collect { case (id, t) if id % 97 == 0 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val got = DataOps.textContamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    for ((id, hits, total, flag) <- got) {
+      val g = grams(docs(id))
+      assert(total == g.size, s"doc $id total")
+      assert(hits == g.count(bench.contains).toLong, s"doc $id hits")
+      assert(flag == (hits > 0))
+    }
+    // candidates = every doc with >=3 words that is not a benchmark doc
+    val expectIds = docs.collect {
+      case (id, t) if id % 97 != 0 && grams(t).nonEmpty => id }.toSet
+    assert(got.map(_._1).toSet == expectIds)
+  }
+
+  test("pii scrub redacts exactly the planted addresses") {
+    val got = DataOps.piiScrub(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 500)
+    for ((id, n, clean) <- got) {
+      assert(n == (if (id % 10 == 0) 1L else 0L), s"doc $id count")
+      assert(!clean.contains("@"), s"doc $id leaked an address")
+      if (id % 10 == 0) assert(clean.endsWith("contact-<email> ok"))
+    }
+  }
 }
