@@ -76,6 +76,10 @@ object PlanDump {
       DataOps.annIvf(spark, sfDir))
     dump("embedding_neardup (banded self-equi-join, no cross join)")(
       DataOps.embeddingNearDup(spark, sfDir))
+    dump("text_contamination (shingle equi-join, no cross product)")(
+      DataOps.textContamination(spark, sfDir))
+    dump("text_pii_scrub (pure map, no exchange)")(
+      DataOps.piiScrub(spark, sfDir))
     spark.stop()
   }
 }
