@@ -1,4 +1,13 @@
 #!/bin/bash
+# SUPERSEDED by scripts/scaling_r4.sh for the criterion pairs: these
+# round-3 pairs passed --state-partitions $((3*cpus)), varying the
+# state-store partition count with the level — a configuration a real
+# N->4N resize cannot produce (Spark locks state partitioning into the
+# checkpoint). Round 4 re-ran dedup-ON at CONSTANT partitions (24) at
+# both levels (ADVICE.md finding): hash-state efficiency moves 0.52-0.68
+# -> 0.73-0.74 b1, so the varying count was depressing round-3's number.
+# Kept for the historical record of what SCALING_r3.jsonl measured.
+#
 # Round-3 final scaling evidence (north rule: throughput at N vs 4N cores,
 # efficiency >= 0.8).
 #
