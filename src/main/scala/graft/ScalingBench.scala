@@ -151,26 +151,54 @@ object ScalingBench {
       }
     }
     spark.streams.addListener(listener)
+    // --sink raw-append: the reference's sync/normalize split at bench
+    // scale — pure parquet-append staging (no join/state in the stream),
+    // then ONE incremental normalize fold into the persistent normalized
+    // table. The content-hash check below runs on the normalized result,
+    // so merge-mode and raw-mode runs of the same input must print the
+    // SAME hash (cross-mode replay equality).
+    val rawMode = opt.get("--sink").contains("raw-append")
+    val rawSink =
+      if (rawMode) Some(new graft.sink.RawAppendSink(s"$runDir/raw",
+        spark.sparkContext.hadoopConfiguration, Schemas.transcriptNoTool,
+        buckets))
+      else None
     val t0 = System.nanoTime()
-    Pipeline.runAvailable(spark, binlogDir, lake, s"$runDir/ckpt",
-      maxFilesPerTrigger = fpt, transportDedup = dedup,
-      applyShufflePartitions = Some(shuffle), watermarkDelay = wmDelay,
-      dedupImpl = dedupImpl)
+    var syncSec = -1.0
+    var normSec = -1.0
+    rawSink match {
+      case Some(raw) =>
+        Pipeline.startWithSink(spark, binlogDir, raw, s"$runDir/ckpt",
+          maxFilesPerTrigger = fpt, availableNow = true,
+          transportDedup = dedup, watermarkDelay = wmDelay,
+          applyShufflePartitions = Some(shuffle), dedupImpl = dedupImpl)
+          .awaitTermination()
+        syncSec = (System.nanoTime() - t0) / 1e9
+        val tn = System.nanoTime()
+        raw.normalizeIncremental(spark) // performs the pending-batch fold
+        normSec = (System.nanoTime() - tn) / 1e9
+      case None =>
+        Pipeline.runAvailable(spark, binlogDir, lake, s"$runDir/ckpt",
+          maxFilesPerTrigger = fpt, transportDedup = dedup,
+          applyShufflePartitions = Some(shuffle), watermarkDelay = wmDelay,
+          dedupImpl = dedupImpl)
+    }
     val sec = (System.nanoTime() - t0) / 1e9
     // replay-equality check: row count AND an order-insensitive content hash
     // over the north-rule invariant columns — a count alone can miss a
     // same-cardinality corruption
     // (hash summed in DECIMAL(38,0): a LongType sum of 64-bit hashes
     // overflows under ANSI arithmetic)
-    val check = lake.read(spark).selectExpr(
+    val resultLake = rawSink.map(_.normalizedLake(spark)).getOrElse(lake)
+    val check = resultLake.read(spark).selectExpr(
       "count(1) AS rows",
       "CAST(sum(CAST(xxhash64(conv_id, turn_idx, text) AS DECIMAL(38,0))) " +
         "AS STRING) AS content")
       .head()
     val live = check.getLong(0)
     val contentHash = check.getString(1)
-    val perBatch = lake.snapshotVersions().sorted.flatMap(v =>
-      lake.readSnapshot(v).lineage.map(_.wallMs))
+    val perBatch = resultLake.snapshotVersions().sorted.flatMap(v =>
+      resultLake.readSnapshot(v).lineage.map(_.wallMs))
     // listener delivery is async: give the bus a moment to drain
     val deadline = System.currentTimeMillis() + 10000
     while (progressBuf.synchronized(progressBuf.size) < segments / fpt &&
@@ -183,6 +211,7 @@ object ScalingBench {
       f""""segments":$segments,"batches":${segments / fpt},""" +
       f""""statePartitions":$statePartitions,"shuffle":$shuffle,""" +
       s""""dedup":$dedup,"dedupImpl":"$dedupImpl",""" +
+      (if (rawMode) f""""sink":"raw-append","syncSec":$syncSec%.2f,"normSec":$normSec%.2f,""" else "") +
       s""""batchWallMs":[${perBatch.mkString(",")}],""" +
       s""""progress":[${progressBuf.synchronized(progressBuf.mkString(","))}]}""")
     fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
