@@ -126,27 +126,34 @@ object CdcRunner {
     // and exits (the test/bench shape).
     val daemonSecs = opt.get("--daemon-seconds").map(_.toLong)
     val httpPort = opt.get("--http-port").map(_.toInt)
+    // "interval" (default) | "hash": a checkpoint's stateful-dedup plan is
+    // baked in at first start — pass `--dedup-impl hash` to resume a
+    // checkpoint created before the interval/bitmap dedup became default.
+    val dedupImpl = opt.getOrElse("--dedup-impl", "interval")
     if (daemonSecs.isDefined) {
       val ctl = new graft.control.Control(spark, binlogDir, lake, ckptDir,
-        maxFilesPerTrigger = fpt)
+        maxFilesPerTrigger = fpt, dedupImpl = dedupImpl)
       val http = httpPort.map(p => new graft.control.HttpControl(ctl, p).start())
       http.foreach(h => println(s"[cdc] control listening on :${h.boundPort}"))
       ctl.resume()
       Thread.sleep(daemonSecs.get * 1000L)
-      ctl.drain() // finish the backlog before reporting
+      ctl.drain() // finish the backlog before exiting
       http.foreach(_.stop())
       ctl.close()
+    } else {
+      val t0 = System.nanoTime()
+      Pipeline.runAvailable(spark, binlogDir, lake, ckptDir,
+        maxFilesPerTrigger = fpt, dedupImpl = dedupImpl)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[cdc] applied ${cfg.totalEvents} events in $secs%.1f s " +
+        f"(${cfg.totalEvents / secs}%.0f events/s)")
     }
-
-    val t0 = System.nanoTime()
-    Pipeline.runAvailable(spark, binlogDir, lake, ckptDir,
-      maxFilesPerTrigger = fpt)
-    val secs = (System.nanoTime() - t0) / 1e9
 
     val snap = lake.snapshot()
     val live = lake.read(spark).count()
-    println(f"[cdc] applied ${cfg.totalEvents} events in $secs%.1f s " +
-      f"(${cfg.totalEvents / secs}%.0f events/s); live rows = $live; " +
+    // daemon mode reports state only — its wall includes idle trigger
+    // time, so an events/s claim from it would be meaningless
+    println(s"[cdc] live rows = $live; " +
       s"snapshot v${snap.version}, schemaVersion ${snap.schemaVersion}, " +
       s"endLsn ${snap.endLsn}")
     println("[cdc] lineage (last 10 commits):")

@@ -45,9 +45,18 @@ final class Control(
     checkpointDir: String,
     maxFilesPerTrigger: Int = 1,
     transportDedup: Boolean = true,
-    chunkSource: Option[Backfill.ChunkSource] = None) {
+    chunkSource: Option[Backfill.ChunkSource] = None,
+    // "interval" (default) | "hash". NOTE: the dedup implementation is
+    // baked into a checkpoint's stateful-operator plan — resuming a
+    // checkpoint written under the other implementation fails with a
+    // state(-schema) mismatch; pass "hash" to keep driving pre-round-4
+    // checkpoints.
+    dedupImpl: String = "interval") {
 
-  private var query: Option[StreamingQuery] = None
+  // @volatile so status()/isRunning never block on the control lock —
+  // drain() holds it for the whole backlog, and the observability
+  // endpoints must answer during exactly that window
+  @volatile private var query: Option[StreamingQuery] = None
 
   /** Per-batch rate/lag observations (A9), fed by the streaming listener
     * bus for this engine's query; [[metricsDf]] exposes the history, the
@@ -58,14 +67,15 @@ final class Control(
 
   def metricsDf: org.apache.spark.sql.DataFrame = metrics.metricsDf(spark)
 
-  def isRunning: Boolean = synchronized(query.exists(_.isActive))
+  def isRunning: Boolean = query.exists(_.isActive)
 
   /** Start (or resume after [[pause]]) continuous processing. */
   def resume(): Unit = synchronized {
     if (!isRunning)
       query = Some(Pipeline.start(spark, binlogDir, lake, checkpointDir,
         maxFilesPerTrigger, availableNow = false,
-        transportDedup = transportDedup, chunkSource = chunkSource))
+        transportDedup = transportDedup, chunkSource = chunkSource,
+        dedupImpl = dedupImpl))
   }
 
   /** Graceful pause: the in-flight micro-batch finishes and commits, then
@@ -84,7 +94,8 @@ final class Control(
   def drain(): Unit = synchronized {
     pause()
     Pipeline.runAvailable(spark, binlogDir, lake, checkpointDir,
-      maxFilesPerTrigger, transportDedup, chunkSource)
+      maxFilesPerTrigger, transportDedup, chunkSource,
+      dedupImpl = dedupImpl)
   }
 
   def stop(): Unit = pause()

@@ -24,6 +24,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 final class HttpControl(ctl: Control, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // without an executor every endpoint shares the single dispatcher
+  // thread, so a long POST /drain would block GET /status — give the
+  // server a small pool (status/metrics stay lock-free on the Control
+  // side for the same reason)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** Bound port (useful with port=0 = ephemeral). */
   def boundPort: Int = server.getAddress.getPort
@@ -90,7 +96,11 @@ final class HttpControl(ctl: Control, port: Int = 0) {
 
   def start(): HttpControl = { server.start(); this }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+    ()
+  }
 }
 
 object HttpControl {

@@ -161,17 +161,46 @@ final class RawAppendSink(
           s"raw-append commit rename failed: $tmp -> $target")
     }
 
-  /** Highest batch id folded into the compacted dir (−1 = none). */
-  private[graft] def compactedUpTo: Long =
-    if (!fs.exists(markerPath)) -1L
-    else {
-      val in = fs.open(markerPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
+  /** Highest batch id folded into a fully-committed compacted dir (−1 =
+    * none). The committed `compacted-<id>` DIRS are the source of truth —
+    * each is only visible after an atomic rename, and `compacted-N`
+    * contains everything `compacted-M` (M < N) did — so a crash anywhere
+    * in [[compactRaw]]'s later steps (marker flip, superseded-dir deletes)
+    * cannot lose data or disable the replay guard. The `_compacted` marker
+    * is a fast-path hint only.
+    */
+  private[graft] def compactedUpTo: Long = {
+    val fromDirs = compactedDirs().lastOption.map(_._1).getOrElse(-1L)
+    val fromMarker =
+      if (!fs.exists(markerPath)) -1L
+      else {
+        val in = fs.open(markerPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    math.max(fromDirs, fromMarker)
+  }
+
+  /** Committed compacted dirs as (upToId, path), ascending. */
+  private def compactedDirs(): Seq[(Long, Path)] =
+    if (!fs.exists(new Path(root))) Seq.empty
+    else fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("compacted-"))
+      .map(s => s.getPath.getName.stripPrefix("compacted-").toLong -> s.getPath)
+      .sortBy(_._1)
+
+  // applyBatch runs once per micro-batch: cache the compaction floor
+  // instead of re-reading the marker/listing per trigger (two metadata
+  // RPCs per batch on an object store). compactRaw (same single-writer
+  // process) refreshes it.
+  @transient @volatile private var compactedUpToCache: Long = Long.MinValue
+  private def compactedUpToCached: Long = {
+    if (compactedUpToCache == Long.MinValue) compactedUpToCache = compactedUpTo
+    compactedUpToCache
+  }
 
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long): Unit = {
-    if (batchId <= compactedUpTo) return // replay of a compacted batch
+    if (batchId <= compactedUpToCached) return // replay of a compacted batch
     val target = batchDir(batchId)
     if (fs.exists(target)) return // replayed batch: already committed
     fs.mkdirs(new Path(root))
@@ -190,9 +219,10 @@ final class RawAppendSink(
       .sortBy(_._1)
 
   /** All committed raw events (no tmp dirs, no partial writes): the
-    * compacted dir, if any, plus batch dirs above the compaction marker.
-    * Compaction keeps this union flat — the marker, not dir count, is the
-    * source of truth, so a crash mid-compaction can't double-read.
+    * NEWEST compacted dir, if any, plus batch dirs above its id. A crash
+    * mid-compaction can't double-read (superseded dirs are excluded by id,
+    * whether or not their deletes ran) and can't lose data (the newest
+    * compacted dir subsumes every older one).
     */
   def read(spark: SparkSession): DataFrame = {
     val upTo = compactedUpTo
@@ -258,10 +288,14 @@ final class RawAppendSink(
 
   /** Coalesce batch dirs at or below `upTo` (default: the normalize
     * watermark) plus any earlier compacted dir into one
-    * `compacted-<upTo>` dir. Kill-safe ordering: write new dir → flip the
-    * `_compacted` marker → delete superseded dirs; readers trust only the
-    * marker, so a crash at any point yields either the old or the new
-    * view, never a double-read. Returns the number of dirs removed.
+    * `compacted-<upTo>` dir. Kill-safe because committed `compacted-<id>`
+    * dirs are the source of truth (see [[compactedUpTo]]): the ordering is
+    * write+rename the new dir (atomic visibility) → refresh the marker
+    * hint → delete superseded dirs. A crash after the rename leaves both
+    * generations on disk but readers use only the newest; the next
+    * compactRaw call finishes the cleanup (and treats an already-existing
+    * target as a completed predecessor, not an error). Returns the number
+    * of superseded dirs removed.
     */
   def compactRaw(spark: SparkSession, upTo: Long = Long.MinValue): Int = {
     val prev = compactedUpTo
@@ -272,9 +306,19 @@ final class RawAppendSink(
         if (lake.snapshotVersions().isEmpty) return 0
         lake.snapshot().batchId
       }
+    // resume-cleanup from a previous crashed run: batch dirs and compacted
+    // generations superseded by the current floor are invisible to readers
+    // already — remove them regardless of whether new work exists
+    var removed = 0
+    for ((id, p) <- committedBatches() if id <= prev) {
+      fs.delete(p, true); removed += 1
+    }
+    for ((id, p) <- compactedDirs() if id < prev) {
+      fs.delete(p, true); removed += 1
+    }
     val eligible = committedBatches().filter { case (id, _) =>
       id > prev && id <= bound }
-    if (eligible.isEmpty) return 0
+    if (eligible.isEmpty) return removed
     val newUpTo = eligible.map(_._1).max
     val srcDirs =
       (if (prev >= 0) Seq(new Path(root, s"compacted-$prev").toString)
@@ -282,16 +326,17 @@ final class RawAppendSink(
     val tmp = new Path(root, s".tmp-compact-${UUID.randomUUID().toString.take(8)}")
     spark.read.schema(Schemas.changeEvent).parquet(srcDirs: _*)
       .write.mode("overwrite").parquet(tmp.toString)
-    require(commitDir(tmp, new Path(root, s"compacted-$newUpTo")),
-      s"compaction target compacted-$newUpTo already exists")
-    // marker flip: temp file + rename-overwrite (single-writer maintenance)
+    // an already-existing target means a previous attempt committed this
+    // exact generation and crashed before cleanup — proceed as a replay
+    commitDir(tmp, new Path(root, s"compacted-$newUpTo"))
+    compactedUpToCache = newUpTo
+    // marker refresh (fast-path hint; correctness never depends on it)
     val mTmp = new Path(root, s".tmp-marker-${UUID.randomUUID().toString.take(8)}")
     val o = fs.create(mTmp, true)
     try o.write(newUpTo.toString.getBytes("UTF-8")) finally o.close()
     fs.delete(markerPath, false)
-    require(fs.rename(mTmp, markerPath), "marker flip failed")
+    require(fs.rename(mTmp, markerPath), "marker refresh failed")
     // now invisible to readers: superseded batch dirs + old compacted dir
-    var removed = 0
     for ((_, p) <- eligible) { fs.delete(p, true); removed += 1 }
     if (prev >= 0) { fs.delete(new Path(root, s"compacted-$prev"), true); removed += 1 }
     removed

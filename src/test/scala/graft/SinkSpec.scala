@@ -132,6 +132,53 @@ class SinkSpec extends SparkSpec {
     assert(raw.normalizedLake(spark).snapshot().batchId == 3L)
   }
 
+  test("compaction crash windows: readers never lose data, retry completes cleanup") {
+    val cfg = GenConfig(seed = 79, numConvs = 20, eventsPerConv = 10)
+    val events = BinlogGen.events(cfg)
+    val (h1, h2) = events.splitAt(events.size / 2)
+    val work = tmpDir("sinkcrash")
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def raw() = new RawAppendSink(s"$work/raw",
+      spark.sparkContext.hadoopConfiguration)
+    val r0 = raw()
+    r0.applyBatch(spark, spark.createDataset(h1.toVector).toDF(), 0L)
+    r0.applyBatch(spark, spark.createDataset(h2.toVector).toDF(), 1L)
+    val total = r0.read(spark).count()
+    r0.normalizeIncremental(spark)
+    assert(r0.compactRaw(spark) == 2)
+
+    // crash window A: marker deleted but not yet renamed (old
+    // delete-then-rename flip) — the committed compacted dir alone must
+    // keep the view intact and the replay guard armed
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/raw/_compacted"), false)
+    val r1 = raw() // fresh handle: no caches
+    assert(r1.read(spark).count() == total, "view lost after marker crash")
+    assert(r1.compactedUpTo == 1L, "replay guard disarmed after marker crash")
+    r1.applyBatch(spark, spark.createDataset(h1.toVector).toDF(), 0L)
+    assert(r1.read(spark).count() == total, "compacted batch replayed twice")
+
+    // crash window B: a new compacted generation committed but cleanup
+    // didn't run (old dir + old batch dirs still present) — readers use
+    // only the newest generation; the next compactRaw finishes cleanup
+    val shifted = h1.toVector.map(e => e.copy(lsn = e.lsn + 1000000L))
+    r1.applyBatch(spark, spark.createDataset(shifted).toDF(), 2L)
+    r1.normalizeIncremental(spark)
+    // simulate: copy current compacted-1 as a stale older generation 0
+    // alongside (as if gen-1's cleanup had crashed)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$work/raw/compacted-1"), fs,
+      new org.apache.hadoop.fs.Path(s"$work/raw/compacted-0"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val r2 = raw()
+    val expect = r2.read(spark).count() // newest gen + batch=2 only
+    assert(expect == total + h1.size, "stale generation double-read")
+    val removed = r2.compactRaw(spark)
+    assert(removed >= 2, s"retry must sweep stale dirs, removed=$removed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/raw/compacted-0")))
+    assert(raw().read(spark).count() == expect)
+  }
+
   test("T13: sink failure halts the stream loudly; restart resumes exactly-once") {
     val cfg = GenConfig(seed = 67, numConvs = 40, eventsPerConv = 20,
       pctUpdate = 0.3, pctDelete = 0.1)
