@@ -53,6 +53,13 @@ object MultiApply {
         .head()
       val present = pre.getSeq[String](0)
       val skipped = pre.getLong(1)
+      // surface drops even when the caller ignores the return value (the
+      // streaming path does) — a typo'd/unregistered table must not lose
+      // events invisibly
+      if (skipped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"multi-table apply batch $batchId: $skipped events dropped " +
+            s"(untracked destination tables; tracked=${lakes.keySet.toSeq.sorted.mkString(",")})")
       val targets = present.filter(tracked).sorted
       if (targets.size <= 1 || maxConcurrent <= 1) {
         for (t <- targets)

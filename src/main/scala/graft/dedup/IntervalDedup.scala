@@ -95,9 +95,19 @@ object IntervalDedup {
         (_: Long, rows: Iterator[Row], state: GroupState[BucketState]) =>
           // clone before mutating: the store may hand back the object it
           // retains for the prior version; state only changes via update()
-          val words = state.getOption
-            .map(_.words.clone())
-            .getOrElse(new Array[Long](nWords))
+          val words = state.getOption match {
+            case Some(st) =>
+              // a checkpoint stores bitmaps sized for ITS shift — resuming
+              // under a different shift would silently mis-map lsns to
+              // bits (dropping fresh events) or crash on out-of-range
+              // slots; fail loudly with the remedy instead
+              require(st.words.length == nWords,
+                s"dedup state was checkpointed with a different shift " +
+                  s"(stored ${st.words.length} words, expected $nWords); " +
+                  "resume with the original shift or start a fresh checkpoint")
+              st.words.clone()
+            case None => new Array[Long](nWords)
+          }
           val out = new scala.collection.mutable.ArrayBuffer[Row]()
           var changed = false
           while (rows.hasNext) {

@@ -406,17 +406,14 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     * still the operating assumption (as in the reference daemon); this guard
     * turns a violated assumption into a loud error, not lost commits.
     *
-    * The FileContext is cached per table (not re-resolved per commit), and
-    * filesystems that ship only a `FileSystem` impl with no
-    * `AbstractFileSystem` binding (e.g. s3a without
-    * `fs.AbstractFileSystem.s3a.impl`) fall back to exists-check + rename —
-    * a narrower race window instead of an UnsupportedFileSystemException.
+    * The rename machinery lives in the shared [[AtomicFs]] helper (also
+    * used by the raw-append sink's dir commits): FileContext with
+    * `Options.Rename.NONE` when available, a narrower exists-check+rename
+    * fallback otherwise. Losing the race (target exists) is a loud
+    * IllegalStateException here — a snapshot version can never be
+    * silently re-pointed.
     */
-  @transient private lazy val fileContext
-      : Option[org.apache.hadoop.fs.FileContext] =
-    try Some(org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, hadoopConf))
-    catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+  @transient private lazy val atomicFs = new AtomicFs(fs, hadoopConf)
 
   private def writeSnapshot(snap: Snapshot): Unit = {
     fs.mkdirs(logDir)
@@ -425,33 +422,12 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     val o = fs.create(tmp, true)
     try o.write(SnapshotCodec.encode(snap).getBytes(StandardCharsets.UTF_8))
     finally o.close()
-    try fileContext match {
-      case Some(fc) => fc.rename(tmp, target) // Options.Rename.NONE default
-      case None =>
-        // Fallback path: only diagnose "commit race" when the target really
-        // exists — a rename that failed for any other reason (permissions,
-        // missing parent, IO) must surface as an IO error, not masquerade
-        // as a concurrent writer.
-        if (fs.exists(target))
-          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-            target.toString)
-        if (!fs.rename(tmp, target)) {
-          if (fs.exists(target))
-            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-              target.toString)
-          throw new java.io.IOException(
-            s"snapshot commit rename failed: $tmp -> $target")
-        }
-    }
-    catch {
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        fs.delete(tmp, false)
-        throw new IllegalStateException(
-          s"commit race: $target already exists", e)
-      case e: Throwable =>
-        fs.delete(tmp, false)
-        throw e
-    }
+    val won =
+      try atomicFs.renameNoOverwrite(tmp, target)
+      catch { case e: Throwable => fs.delete(tmp, false); throw e }
+    if (!won)
+      throw new IllegalStateException(
+        s"commit race: $target already exists")
   }
 
   /** Time travel: read the table as of an older committed version (the

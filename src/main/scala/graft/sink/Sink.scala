@@ -121,44 +121,43 @@ final class RawAppendSink(
   @transient private lazy val fs: FileSystem =
     new Path(root).getFileSystem(hadoopConf)
 
-  // FileContext gives a true no-overwrite rename (Options.Rename.NONE).
-  // A bare FileSystem.rename onto an EXISTING DIRECTORY moves the source
-  // INSIDE it (POSIX dir-into-dir), which in the exists-check→rename race
-  // would nest a second copy under batch=N instead of no-opping.
-  @transient private lazy val fileContext
-      : Option[org.apache.hadoop.fs.FileContext] =
-    try Some(org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, hadoopConf))
-    catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+  @transient private lazy val atomicFs =
+    new graft.lake.AtomicFs(fs, hadoopConf)
 
   private def batchDir(id: Long) = new Path(root, f"batch=$id%d")
   private def markerPath = new Path(root, "_compacted")
+  private def schemaPath = new Path(root, "_schema.json")
 
   /** No-overwrite directory commit; true = this attempt won, false = a
     * concurrent/earlier attempt already committed `target` (tmp cleaned).
     */
   private def commitDir(tmp: Path, target: Path): Boolean =
-    fileContext match {
-      case Some(fc) =>
-        try { fc.rename(tmp, target); true } // Rename.NONE default
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-               _: java.nio.file.FileAlreadyExistsException |
-               _: org.apache.hadoop.fs.ParentNotDirectoryException =>
-            fs.delete(tmp, true); false
-          case _: java.io.IOException if fs.exists(target) =>
-            fs.delete(tmp, true); false
-        }
-      case None =>
-        if (fs.exists(target)) { fs.delete(tmp, true); false }
-        else if (fs.rename(tmp, target)) {
-          // dir-into-dir detection: if target existed concurrently, our tmp
-          // landed NESTED inside it — undo and treat as replay
-          val nested = new Path(target, tmp.getName)
-          if (fs.exists(nested)) { fs.delete(nested, true); false } else true
-        } else if (fs.exists(target)) { fs.delete(tmp, true); false }
-        else throw new java.io.IOException(
-          s"raw-append commit rename failed: $tmp -> $target")
+    atomicFs.renameNoOverwrite(tmp, target)
+
+  /** The staged envelope schema: recorded on the first commit so the read
+    * and compaction paths preserve EVERY staged column (a multi-table
+    * stream carries `table` beyond the base envelope — hardcoding
+    * Schemas.changeEvent would silently drop it, and compaction would
+    * destroy it). Falls back to the base envelope for pre-existing logs.
+    */
+  private[graft] def stagedSchema: StructType =
+    if (!fs.exists(schemaPath)) Schemas.changeEvent
+    else {
+      val in = fs.open(schemaPath)
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType]
+    }
+
+  private def recordSchema(schema: StructType): Unit =
+    if (!fs.exists(schemaPath)) {
+      val tmp = new Path(root, s".tmp-schema-${UUID.randomUUID().toString.take(8)}")
+      val o = fs.create(tmp, true)
+      try o.write(schema.json.getBytes("UTF-8")) finally o.close()
+      atomicFs.renameNoOverwrite(tmp, schemaPath)
+      ()
     }
 
   /** Highest batch id folded into a fully-committed compacted dir (−1 =
@@ -204,6 +203,7 @@ final class RawAppendSink(
     val target = batchDir(batchId)
     if (fs.exists(target)) return // replayed batch: already committed
     fs.mkdirs(new Path(root))
+    recordSchema(batch.schema)
     val tmp = new Path(root, s".tmp-$batchId-${UUID.randomUUID().toString.take(8)}")
     batch.write.mode("overwrite").parquet(tmp.toString)
     commitDir(tmp, target)
@@ -234,8 +234,8 @@ final class RawAppendSink(
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Schemas.changeEvent)
-    else spark.read.schema(Schemas.changeEvent).parquet(dirs: _*)
+        stagedSchema)
+    else spark.read.schema(stagedSchema).parquet(dirs: _*)
   }
 
   /** Normalize pass (on-demand form): fold the ENTIRE raw log into live
@@ -252,17 +252,23 @@ final class RawAppendSink(
       .collect()
       .map(r => r.getString(0).split(":", 3)(1) -> r.getLong(1))
       .toMap
-    val payload = Seq("role", "text", "tool", "ts")
+    val payload = Schemas.payloadCols(Schemas.transcript)
     Dedup.lwwReduce(raw.filter(col("op") < Op.SchemaChange), payload, addLsn)
       .filter(col("op") =!= Op.Delete)
-      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .select((Schemas.keys ++ payload).map(col): _*)
   }
+
+  // one handle for the table's lifetime: LakeTable memoizes manifest
+  // resolution per handle, so a fresh handle per fold would re-open
+  // O(numBuckets) manifest files every call
+  @transient private lazy val normLakeHandle =
+    new LakeTable(s"$root/_normalized", hadoopConf)
 
   /** The persistent normalized table (created on first use). */
   def normalizedLake(spark: SparkSession): LakeTable = {
-    val lake = LakeTable(spark, s"$root/_normalized")
-    if (lake.snapshotVersions().isEmpty) lake.create(schema, numBuckets)
-    lake
+    if (normLakeHandle.snapshotVersions().isEmpty)
+      normLakeHandle.create(schema, numBuckets)
+    normLakeHandle
   }
 
   /** Incremental normalize: fold only the raw batches newer than the
@@ -274,12 +280,23 @@ final class RawAppendSink(
     val lake = normalizedLake(spark)
     val done = lake.snapshot().batchId // the normalize watermark
     val pending = committedBatches().filter(_._1 > done)
-    if (pending.nonEmpty) {
-      val df = spark.read.schema(Schemas.changeEvent)
-        .parquet(pending.map(_._2.toString): _*)
+    // If compaction ran past the watermark (explicit compactRaw(upTo) or a
+    // pre-watermark crash recovery), un-folded events now live only in the
+    // compacted dir. Folding the WHOLE compacted dir is safe — events the
+    // table already applied die on its `lsn > endLsn` filter — so nothing
+    // is ever lost to over-eager compaction.
+    val cUpTo = compactedUpTo
+    val compactedPending =
+      if (cUpTo > done) Seq(new Path(root, s"compacted-$cUpTo").toString)
+      else Seq.empty
+    val srcs = compactedPending ++ pending.map(_._2.toString)
+    if (srcs.nonEmpty) {
+      val df = spark.read.schema(stagedSchema).parquet(srcs: _*)
+        .select(Schemas.changeEvent.fieldNames.map(col): _*)
       // one fold over all pending batches (the reference's batch-range
       // coalescing, normalizer.rs:170-216); idempotent via batchId guard
-      MergeApply.applyBatch(spark, lake, df, pending.map(_._1).max)
+      MergeApply.applyBatch(spark, lake, df,
+        math.max(cUpTo, pending.map(_._1).foldLeft(-1L)(math.max)))
     }
     val cols = Schemas.payloadCols(lake.snapshot().schema)
     lake.read(spark).select(
@@ -324,7 +341,7 @@ final class RawAppendSink(
       (if (prev >= 0) Seq(new Path(root, s"compacted-$prev").toString)
        else Seq.empty) ++ eligible.map(_._2.toString)
     val tmp = new Path(root, s".tmp-compact-${UUID.randomUUID().toString.take(8)}")
-    spark.read.schema(Schemas.changeEvent).parquet(srcDirs: _*)
+    spark.read.schema(stagedSchema).parquet(srcDirs: _*)
       .write.mode("overwrite").parquet(tmp.toString)
     // an already-existing target means a previous attempt committed this
     // exact generation and crashed before cleanup — proceed as a replay
@@ -342,11 +359,17 @@ final class RawAppendSink(
     removed
   }
 
-  /** Reap crashed-write leftovers (never referenced by a reader). */
-  def vacuumTmp(): Int = {
+  /** Reap crashed-write leftovers. `graceMs` (default 24 h, like
+    * LakeTable.vacuum) protects the tmp dir of an IN-FLIGHT applyBatch or
+    * compactRaw write — deleting that mid-write would commit a partial
+    * batch.
+    */
+  def vacuumTmp(graceMs: Long = 86400000L): Int = {
     if (!fs.exists(new Path(root))) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
     val tmps = fs.listStatus(new Path(root)).toSeq
-      .filter(_.getPath.getName.startsWith(".tmp-"))
+      .filter(t => t.getPath.getName.startsWith(".tmp-") &&
+        t.getModificationTime < cutoff)
     tmps.foreach(t => fs.delete(t.getPath, true))
     tmps.size
   }

@@ -78,7 +78,8 @@ class SinkSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(raw.root, ".tmp-9-dead"))
     assert(raw.read(spark).count() == n)
-    assert(raw.vacuumTmp() == 1)
+    assert(raw.vacuumTmp() == 0) // default grace protects a young tmp
+    assert(raw.vacuumTmp(graceMs = 0L) == 1)
   }
 
   test("incremental normalize folds only pending batches; compaction bounds the raw log") {
@@ -130,6 +131,26 @@ class SinkSpec extends SparkSpec {
     assert(payload(raw.normalizeIncremental(spark)) ==
       payloadOf(OracleFold.finalState(events, Map("tool" -> addAt))))
     assert(raw.normalizedLake(spark).snapshot().batchId == 3L)
+  }
+
+  test("compaction past the normalize watermark cannot lose events") {
+    val cfg = GenConfig(seed = 101, numConvs = 20, eventsPerConv = 10)
+    val events = BinlogGen.events(cfg)
+    val (h1, h2) = events.splitAt(events.size / 2)
+    val work = tmpDir("sinkovereager")
+    val raw = new RawAppendSink(s"$work/raw",
+      spark.sparkContext.hadoopConfiguration)
+    raw.applyBatch(spark, spark.createDataset(h1.toVector).toDF(), 0L)
+    raw.normalizeIncremental(spark) // watermark -> 0
+    raw.applyBatch(spark, spark.createDataset(h2.toVector).toDF(), 1L)
+    // over-eager: compact batch 1 away BEFORE it was ever folded
+    assert(raw.compactRaw(spark, upTo = 1L) >= 1)
+    assert(raw.compactedUpTo == 1L)
+    // the fold must recover batch 1's events from the compacted dir
+    // (idempotent for batch 0's: the lake's lsn > endLsn filter)
+    assert(payload(raw.normalizeIncremental(spark)) ==
+      payloadOf(OracleFold.finalState(events)))
+    assert(raw.normalizedLake(spark).snapshot().batchId == 1L)
   }
 
   test("compaction crash windows: readers never lose data, retry completes cleanup") {
