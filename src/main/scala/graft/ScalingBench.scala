@@ -214,7 +214,9 @@ object ScalingBench {
       (if (rawMode) f""""sink":"raw-append","syncSec":$syncSec%.2f,"normSec":$normSec%.2f,""" else "") +
       s""""batchWallMs":[${perBatch.mkString(",")}],""" +
       s""""progress":[${progressBuf.synchronized(progressBuf.mkString(","))}]}""")
-    fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+    if (!args.contains("--keep-run-dir"))
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+    else System.err.println(s"[scaling] run dir kept: $runDir")
     spark.stop()
   }
 }
