@@ -50,6 +50,7 @@ object SparkEntry {
     "multimodal_meta" -> (DataOps.multimodalMeta(_, _)),
     "text_contamination" -> (DataOps.textContamination(_, _)),
     "text_pii_scrub" -> (DataOps.piiScrub(_, _)),
+    "corpus_stats" -> (DataOps.corpusStats(_, _)),
     // --- general analytics (joins/aggs/windows on Catalyst built-ins) ---
     "q1_agg" -> (Analytics.q1Agg(_, _)),
     "q3_join" -> (Analytics.q3Join(_, _)),
@@ -88,6 +89,7 @@ object SparkEntry {
     "multimodal_meta" -> DataOps.multimodalMetaSql,
     "text_contamination" -> DataOps.textContaminationSql,
     "text_pii_scrub" -> DataOps.piiScrubSql,
+    "corpus_stats" -> DataOps.corpusStatsSql,
     "q1_agg" -> Analytics.q1AggSql,
     "q3_join" -> Analytics.q3JoinSql,
     "q_window" -> Analytics.userWindowSql)

@@ -687,6 +687,38 @@ object DataOps {
       |LEFT JOIN hits h ON t.doc_id = h.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Per-source corpus report — the numbers a curation pipeline publishes
+    * per ingest slice: doc counts, exact-dup rate (distinct text hashes vs
+    * docs), char-length stats, dominant language. One hash-groupBy per
+    * source/lang cell, all map-side combinable; at 100 TB this is a single
+    * shuffle on a low-cardinality key.
+    */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("source"), col("lang"),
+        md5(lower(trim(col("text")))).as("h"), col("n_chars"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        countDistinct(col("h")).as("distinct_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("dup_bp",
+        expr("(docs - distinct_docs) * 10000 DIV docs"))
+      .orderBy("source", "lang")
+
+  val corpusStatsSql: String =
+    """SELECT source, lang,
+      |  CAST(count(*) AS BIGINT) AS docs,
+      |  CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS distinct_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  CAST((count(*) - count(DISTINCT md5(lower(trim(text))))) * 10000
+      |    // count(*) AS BIGINT) AS dup_bp
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   /** PII scrub: redact email addresses and count redactions per doc. The
     * synthetic corpus carries no PII, so the FIXTURE plants a
     * deterministic address on every 10th doc; the operator (regex
