@@ -63,7 +63,15 @@ case class Snapshot(
     // round 2. `files` always holds the RESOLVED list in memory
     // (readSnapshot resolves manifests); buckets absent from this map have
     // their files inlined in the meta (legacy/empty-table form).
-    bucketManifests: Map[Int, String] = Map.empty) {
+    bucketManifests: Map[Int, String] = Map.empty,
+    // per-bucket MIN `_lsn` among delete tombstones (buckets with none are
+    // absent) — maintained across COW commits from each write job's
+    // Observation, exactly like bucketRowCounts (zero extra file IO). This
+    // is what lets compaction SELECT dirty buckets (minTombLsn <= horizon)
+    // instead of rewriting the whole table — the COW analog of the
+    // reference's O(processed-range) DELETE-after-normalize
+    // (src/connectors/sinks/postgres/normalizer.rs:169-216).
+    bucketTombMinLsn: Map[Int, Long] = Map.empty) {
   def schema: StructType = schemas(schemaVersion)
   def rowCount: Long = bucketRowCounts.values.sum
 }
@@ -253,8 +261,8 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     val schemas = newSchema.fold(base.schemas)(s => base.schemas + (sv -> s))
     val schema = schemas(sv)
 
-    val (newFiles, rowsByBucket) = writeDataFiles(spark, newData, schema,
-      base.numBuckets, touchedBuckets, sv, base.version + 1)
+    val (newFiles, rowsByBucket, tombMinByBucket) = writeDataFiles(spark,
+      newData, schema, base.numBuckets, touchedBuckets, sv, base.version + 1)
 
     val carried = base.files.filterNot(f => touchedBuckets.contains(f.bucket))
     // Manifest-list indirection: each touched bucket's file list goes to
@@ -280,7 +288,9 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       // COW: touched buckets' counts are replaced, untouched carry over
       bucketRowCounts = (base.bucketRowCounts -- touchedBuckets) ++ rowsByBucket,
       backfillDone = backfillDone.getOrElse(base.backfillDone),
-      bucketManifests = manifests)
+      bucketManifests = manifests,
+      bucketTombMinLsn =
+        (base.bucketTombMinLsn -- touchedBuckets) ++ tombMinByBucket)
     writeSnapshot(next)
     next
   }
@@ -369,7 +379,7 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
   private def writeDataFiles(
       spark: SparkSession, df: DataFrame, schema: StructType, numBuckets: Int,
       touched: Set[Int], sv: Int, version: Long)
-      : (Seq[DataFileEntry], Map[Int, Long]) = {
+      : (Seq[DataFileEntry], Map[Int, Long], Map[Int, Long]) = {
     val dirName = f"c$version%012d-${UUID.randomUUID().toString.take(8)}"
     val out = new Path(dataDir, dirName)
     val cols = schema.fieldNames.toSeq.map(col) :+
@@ -377,10 +387,19 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     val parts = math.max(1, math.min(touched.size,
       spark.sessionState.conf.numShufflePartitions))
     val obs = Observation()
+    val hasAudit = schema.fieldNames.contains("_op") &&
+      schema.fieldNames.contains("_lsn")
     val perBucket = touched.toSeq.sorted.map(b =>
       sum(when(col("_bucket") === b, 1L).otherwise(0L)).as(s"b$b"))
+    // min tombstone lsn per bucket: the compaction dirty-bucket index,
+    // computed by the same job that writes the files
+    val perBucketTomb =
+      if (!hasAudit) Seq.empty
+      else touched.toSeq.sorted.map(b =>
+        min(when(col("_bucket") === b && col("_op") === 2, col("_lsn")))
+          .as(s"tb$b"))
     df.select(cols: _*)
-      .observe(obs, count(lit(1)).as("total"), perBucket: _*)
+      .observe(obs, count(lit(1)).as("total"), perBucket ++ perBucketTomb: _*)
       .repartition(parts, col("_bucket"))
       .write.partitionBy("_bucket").mode("overwrite")
       .parquet(out.toString)
@@ -388,6 +407,11 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     val rowsByBucket = touched.toSeq.sorted
       .map(b => b -> rows(s"b$b").asInstanceOf[Long])
       .filter(_._2 > 0).toMap
+    val tombMinByBucket =
+      if (!hasAudit) Map.empty[Int, Long]
+      else touched.toSeq.sorted.flatMap { b =>
+        Option(rows(s"tb$b")).map(v => b -> v.asInstanceOf[Long])
+      }.toMap
     val entries = fs.listStatus(out).filter(_.isDirectory).toSeq.flatMap { bd =>
       val b = bd.getPath.getName.stripPrefix("_bucket=").toInt
       fs.listStatus(bd.getPath).toSeq
@@ -396,7 +420,7 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
         .map(f => DataFileEntry(b, sv,
           s"data/$dirName/${bd.getPath.getName}/${f.getPath.getName}"))
     }
-    (entries, rowsByBucket)
+    (entries, rowsByBucket, tombMinByBucket)
   }
 
   /** Atomic snapshot commit (step 2 of the protocol): temp write, then a
@@ -441,22 +465,51 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     if (includeTombstones) df else df.filter(col("_op") =!= 2)
   }
 
-  /** Maintenance commit: rewrite every bucket, dropping delete tombstones
-    * at or below `horizonLsn` (safe once the source can no longer replay
-    * below that lsn) and coalescing each bucket's files. Bounds both
-    * tombstone growth and small-file count — the COW equivalent of the
-    * reference's raw-table DELETE-after-normalize
+  /** Maintenance commit: rewrite ONLY the buckets that need it, dropping
+    * delete tombstones at or below `horizonLsn` (safe once the source can
+    * no longer replay below that lsn) and coalescing multi-file buckets.
+    * Bucket selection is O(metadata) — no data scan:
+    *
+    *   - tombstone-dirty: `bucketTombMinLsn(b) <= horizonLsn` (the
+    *     snapshot's Observation-maintained index, exact);
+    *   - file-dirty: the bucket has more than `fileThreshold` data files
+    *     (counted from the in-memory manifest).
+    *
+    * `maxBuckets` bounds one commit's rewrite; repeated calls walk the
+    * remaining dirty buckets in ascending order — resumable maintenance,
+    * exactly like backfill chunks. Cost is O(dirty buckets), never
+    * O(table): the COW equivalent of the reference's
+    * O(processed-range) raw-table DELETE-after-normalize
     * (reference: src/connectors/sinks/postgres/normalizer.rs:169-216).
+    * Returns the committed snapshot (unchanged when nothing is dirty).
     */
-  def compact(spark: SparkSession, horizonLsn: Long): Snapshot = {
+  def compact(spark: SparkSession, horizonLsn: Long,
+      fileThreshold: Int = 1, maxBuckets: Int = Int.MaxValue): Snapshot =
+    compactIncremental(spark, horizonLsn, fileThreshold, maxBuckets)._1
+
+  /** [[compact]] plus the set of buckets this call actually rewrote (the
+    * observability hook for the O(dirty) guarantee).
+    */
+  def compactIncremental(
+      spark: SparkSession, horizonLsn: Long,
+      fileThreshold: Int = 1,
+      maxBuckets: Int = Int.MaxValue): (Snapshot, Set[Int]) = {
     val snap = snapshot()
-    val all = snap.files.map(_.bucket).toSet
-    if (all.isEmpty) return snap
-    val kept = readFiles(spark, snap, Some(all))
+    val filesPerBucket = snap.files.groupBy(_.bucket).view.mapValues(_.size)
+    val tombDirty = snap.bucketTombMinLsn.collect {
+      case (b, minLsn) if minLsn <= horizonLsn => b
+    }.toSet
+    val fileDirty = filesPerBucket.collect {
+      case (b, n) if n > fileThreshold => b
+    }.toSet
+    val selected = (tombDirty ++ fileDirty).toSeq.sorted.take(maxBuckets).toSet
+    if (selected.isEmpty) return (snap, Set.empty)
+    val kept = readFiles(spark, snap, Some(selected))
       .filter(!(col("_op") === 2 && col("_lsn") <= horizonLsn))
-    commitRewrite(spark, snap, all, kept, snap.batchId,
+    val next = commitRewrite(spark, snap, selected, kept, snap.batchId,
       endLsn = snap.endLsn,
       lineage = LineageEntry(snap.batchId, -1, -1, 0, 0, 0, 0, Map.empty))
+    (next, selected)
   }
 
   /** Maintenance: physically delete (a) snapshot metas older than the
@@ -592,6 +645,9 @@ object SnapshotCodec {
     s.bucketManifests.toSeq.sorted.foreach { case (bk, rel) =>
       b ++= s"bmanifest=$bk|$rel\n"
     }
+    s.bucketTombMinLsn.toSeq.sorted.foreach { case (bk, l) =>
+      b ++= s"btmin=$bk|$l\n"
+    }
     // manifest-covered buckets' files live in their manifest file, not here
     s.files.filterNot(f => s.bucketManifests.contains(f.bucket))
       .sortBy(f => (f.bucket, f.relPath)).foreach { f =>
@@ -610,6 +666,7 @@ object SnapshotCodec {
     val bucketRows = scala.collection.mutable.Map[Int, Long]()
     val brows = scala.collection.mutable.Map[Int, Long]()
     val bmanifests = scala.collection.mutable.Map[Int, String]()
+    val btmin = scala.collection.mutable.Map[Int, Long]()
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       val (k, v) = (line.substring(0, i), line.substring(i + 1))
@@ -638,6 +695,8 @@ object SnapshotCodec {
         case "bmanifest" =>
           val i2 = v.indexOf('|')
           bmanifests(v.substring(0, i2).toInt) = v.substring(i2 + 1)
+        case "btmin" =>
+          val Array(bk, l) = v.split('|'); btmin(bk.toInt) = l.toLong
         case "file" =>
           val a = v.split('|')
           files += DataFileEntry(a(0).toInt, a(1).toInt, a(2))
@@ -647,6 +706,6 @@ object SnapshotCodec {
     Snapshot(version, batchId, schemaVersion, endLsn, numBuckets,
       schemas.toMap, colAdd.toMap,
       lin.map(_.copy(bucketRows = bucketRows.toMap)), files.toSeq,
-      brows.toMap, backfillDone, bmanifests.toMap)
+      brows.toMap, backfillDone, bmanifests.toMap, btmin.toMap)
   }
 }

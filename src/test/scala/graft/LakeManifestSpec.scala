@@ -123,6 +123,59 @@ class LakeManifestSpec extends SparkSpec {
     assert(fresh.snapshot().files.toSet == lake.snapshot().files.toSet)
   }
 
+  test("incremental compaction rewrites ONLY dirty buckets, resumably") {
+    val buckets = 16
+    val lake = LakeTable(spark, tmpDir("mfcompact"))
+    lake.create(Schemas.transcript, buckets)
+    // seed: every bucket ends up with exactly one data file
+    val seed = (0 until 200).map(i =>
+      ev(2L * i + 2, Op.Insert, f"conv_$i%04d", 0, text = s"t$i"))
+    MergeApply.applyBatch(spark, lake, spark.createDataset(seed).toDF(), 0L)
+    // two deletes in two DIFFERENT buckets -> exactly two tombstone-dirty
+    // buckets (each also gains a second file from its delete commit)
+    val victims = Seq("conv_0000", "conv_0001")
+    val bucketOf = victims.map { c =>
+      c -> spark.range(1).select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(
+            org.apache.spark.sql.functions.lit(c)),
+          org.apache.spark.sql.functions.lit(buckets))).head().getInt(0)
+    }.toMap
+    assert(bucketOf.values.toSet.size == 2, "fixture needs 2 distinct buckets")
+    MergeApply.applyBatch(spark, lake, spark.createDataset(
+      Seq(ev(1001, Op.Delete, "conv_0000", 0))).toDF(), 1L)
+    MergeApply.applyBatch(spark, lake, spark.createDataset(
+      Seq(ev(1003, Op.Delete, "conv_0001", 0))).toDF(), 2L)
+    val preSnap = lake.snapshot()
+    assert(preSnap.bucketTombMinLsn.keySet == bucketOf.values.toSet,
+      "tombstone index tracks exactly the two dirty buckets")
+    val live = liveState(lake)
+    val rowsBefore = lake.read(spark, includeTombstones = true).count()
+
+    // resumable: maxBuckets=1 compacts ONE dirty bucket per commit
+    val (snap1, sel1) = lake.compactIncremental(spark, horizonLsn = 2000,
+      maxBuckets = 1)
+    assert(sel1.size == 1 && bucketOf.values.toSet.contains(sel1.head))
+    // O(touched) metadata: exactly one manifest replaced, zero manifest
+    // re-reads (cache + pre-warm), untouched buckets' manifests identical
+    val changed1 = snap1.bucketManifests.toSet -- preSnap.bucketManifests.toSet
+    assert(changed1.map(_._1) == sel1, s"manifest churn beyond $sel1: $changed1")
+    val r0 = lake.manifestFileReads
+    lake.snapshot()
+    assert(lake.manifestFileReads == r0, "compaction commit pre-warms its manifests")
+
+    val (snap2, sel2) = lake.compactIncremental(spark, horizonLsn = 2000)
+    assert(sel2 == bucketOf.values.toSet -- sel1, "second call takes the rest")
+    // both tombstones GC'd, index clean, live state untouched
+    assert(snap2.bucketTombMinLsn.isEmpty)
+    assert(lake.read(spark, includeTombstones = true).count() == rowsBefore - 2)
+    assert(liveState(lake) == live)
+    // converged: nothing dirty -> compaction is a metadata-only no-op
+    val vBefore = lake.snapshot().version
+    val (snap3, sel3) = lake.compactIncremental(spark, horizonLsn = 2000)
+    assert(sel3.isEmpty && snap3.version == vBefore)
+  }
+
   test("vacuum sweeps superseded manifests, never referenced ones") {
     val lake = LakeTable(spark, tmpDir("mfvac"))
     lake.create(Schemas.transcript, 4)
