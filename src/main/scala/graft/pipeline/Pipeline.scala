@@ -26,6 +26,42 @@ import graft.model.Schemas
   */
 object Pipeline {
 
+  /** Effectively-once across checkpoint REBASE (the dedup-state lifecycle
+    * escape hatch, [[graft.dedup.IntervalDedup]] scaladoc): batch ids
+    * restart at 0 on a fresh checkpoint, but the sink's batchId guard (A8)
+    * treats any id at or below the stored one as a replay — so a rebase
+    * against a non-empty lake would silently swallow the first N real
+    * batches. Fix: at a checkpoint's FIRST start, persist (inside the
+    * checkpoint dir) the offset between this checkpoint's batch ids and
+    * the sink's highest committed id; every apply then uses
+    * `streamingBatchId + offset`. Same-checkpoint restarts re-read the
+    * stored offset, so replays keep their effective id and stay no-ops;
+    * a fresh checkpoint over a fresh sink gets offset 0 (unchanged
+    * behavior); only the rebase case shifts. Pre-existing checkpoints
+    * without the file resume at offset 0 (their ids already line up).
+    */
+  private[graft] def batchIdOffset(
+      spark: SparkSession, checkpointDir: String,
+      committedBatchId: Long): Long = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(dir, "graft-batchid-offset")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else {
+      val offsetsDir = new org.apache.hadoop.fs.Path(dir, "offsets")
+      val freshCheckpoint =
+        !fs.exists(offsetsDir) || fs.listStatus(offsetsDir).isEmpty
+      val off = if (freshCheckpoint) math.max(0L, committedBatchId + 1) else 0L
+      fs.mkdirs(dir)
+      val o = fs.create(f, true)
+      try o.write(off.toString.getBytes("UTF-8")) finally o.close()
+      off
+    }
+  }
+
   /** The transport-dedup front end shared by every query shape. Modes:
     *   - "interval" (default): [[graft.dedup.IntervalDedup]] —
     *     interval-compressed state, O(lsn-range buckets) instead of
@@ -98,6 +134,7 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(binlogDir)
     val src = dedupStage(src0, transportDedup, dedupImpl, watermarkDelay)
+    val idOff = batchIdOffset(spark, checkpointDir, lake.snapshot().batchId)
     src.writeStream
       .queryName("graft-cdc")
       .option("checkpointLocation", checkpointDir)
@@ -105,7 +142,7 @@ object Pipeline {
         val ss = batch.sparkSession
         applyShufflePartitions.foreach(n =>
           ss.conf.set("spark.sql.shuffle.partitions", n.toString))
-        MergeApply.applyBatch(ss, lake, batch, batchId)
+        MergeApply.applyBatch(ss, lake, batch, batchId + idOff)
         // interleaved concurrent backfill: chunks progress between stream
         // batches (the reference's snapshot/stream scheduling,
         // src/engine/mod.rs:199-254)
@@ -143,6 +180,7 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(binlogDir)
     val src = dedupStage(src0, transportDedup, dedupImpl, watermarkDelay)
+    val idOff = batchIdOffset(spark, checkpointDir, sink.lastBatchId(spark))
     src.writeStream
       .queryName("graft-cdc-sink")
       .option("checkpointLocation", checkpointDir)
@@ -150,7 +188,7 @@ object Pipeline {
         val ss = batch.sparkSession
         applyShufflePartitions.foreach(n =>
           ss.conf.set("spark.sql.shuffle.partitions", n.toString))
-        sink.applyBatch(ss, batch, batchId)
+        sink.applyBatch(ss, batch, batchId + idOff)
       }
       .trigger(if (availableNow) Trigger.AvailableNow()
                else Trigger.ProcessingTime("5 seconds"))
@@ -178,11 +216,13 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(binlogDir)
     val src = dedupStage(src0, transportDedup, dedupImpl, watermarkDelay)
+    val idOff = batchIdOffset(spark, checkpointDir,
+      lakes.values.map(_.snapshot().batchId).foldLeft(-1L)(math.max))
     src.writeStream
       .queryName("graft-cdc-multi")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        MultiApply.applyBatch(batch.sparkSession, lakes, batch, batchId)
+        MultiApply.applyBatch(batch.sparkSession, lakes, batch, batchId + idOff)
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow()

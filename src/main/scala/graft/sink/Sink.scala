@@ -41,6 +41,13 @@ trait Sink extends Serializable {
     * for `raw-append` the raw change log appended so far.
     */
   def read(spark: SparkSession): DataFrame
+
+  /** Highest batch id this sink has durably committed (−1 = none): the
+    * anchor for [[graft.pipeline.Pipeline.batchIdOffset]]'s checkpoint-
+    * rebase shift, so a fresh checkpoint's restarted batch ids can never
+    * collide with (and be swallowed by) this sink's replay guard.
+    */
+  def lastBatchId(spark: SparkSession): Long = -1L
 }
 
 /** Declarative sink selection (the reference's `SinkConfig`,
@@ -82,6 +89,7 @@ final class MergeSink(val lake: LakeTable) extends Sink {
     ()
   }
   def read(spark: SparkSession): DataFrame = lake.read(spark)
+  override def lastBatchId(spark: SparkSession): Long = lake.snapshot().batchId
 }
 
 /** Append-only raw staging: each micro-batch lands as an immutable
@@ -209,6 +217,10 @@ final class RawAppendSink(
     commitDir(tmp, target)
     ()
   }
+
+  override def lastBatchId(spark: SparkSession): Long =
+    math.max(compactedUpTo,
+      committedBatches().lastOption.map(_._1).getOrElse(-1L))
 
   /** Committed batch dirs as (batchId, path), ascending. */
   private def committedBatches(): Seq[(Long, Path)] =

@@ -123,6 +123,81 @@ class IntervalDedupSpec extends SparkSpec {
       s"state rows $maxStateRows not compressed vs $totalEvents events")
   }
 
+  test("checkpoint rebase: fresh checkpoint after compaction absorbs a full " +
+      "replay AND applies new events (batch-id offset)") {
+    // The dedup-state retirement path (IntervalDedup scaladoc): once the
+    // lake's compaction horizon passes, restart the query on a FRESH
+    // checkpoint — redelivered pre-horizon events die on the per-event
+    // `lsn > endLsn` filter, and dedup state starts empty. The trap this
+    // test pins down: a fresh checkpoint restarts streaming batch ids at
+    // 0, so without the persisted batch-id offset the lake's batchId
+    // replay guard would swallow the first N REAL batches after rebase.
+    val cfg = GenConfig(seed = 37, numConvs = 40, eventsPerConv = 20)
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("ivrebase")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(events).toDF(), s"$work/binlog", 4)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 8)
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 1, dedupImpl = "interval")
+    assert(liveState(lake) == OracleFold.finalState(events))
+    val batchIdBefore = lake.snapshot().batchId
+    assert(batchIdBefore >= 3, "fixture must span several batches")
+
+    // horizon passes: GC tombstones; then REBASE — drop the checkpoint
+    lake.compact(spark, horizonLsn = lake.snapshot().endLsn)
+    fs.delete(new Path(s"$work/ckpt"), true)
+
+    // new reality after the rebase: a post-horizon update + a new turn,
+    // delivered as fresh segments; the OLD segments stay in the dir, so
+    // the fresh checkpoint replays the ENTIRE history plus the tail
+    val maxLsn = events.map(_.lsn).max
+    val tail = Vector(
+      graft.model.ChangeEvent(maxLsn + 2, 1, cfg.convId(0), 0, "user",
+        "rebased-text", null, new java.sql.Timestamp(
+          BinlogGen.BaseMs + (maxLsn + 2) * 1000L), false, 999L, null),
+      graft.model.ChangeEvent(maxLsn + 4, 0, "conv_rebase", 0, "user",
+        "new-after-rebase", null, new java.sql.Timestamp(
+          BinlogGen.BaseMs + (maxLsn + 4) * 1000L), false, 999L, null))
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(tail).toDF(), s"$work/seg-tail", 1)
+    for ((p, i) <- fs.listStatus(new Path(s"$work/seg-tail")).map(_.getPath)
+        .sortBy(_.getName).zipWithIndex) {
+      val to = new Path(s"$work/binlog", "tail-" + p.getName)
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, to, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(to, BinlogGen.BaseMs + 500000L + i * 1000L, -1)
+    }
+
+    @volatile var maxStateRows = -1L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach(so =>
+          maxStateRows = math.max(maxStateRows, so.numRowsTotal))
+    }
+    spark.streams.addListener(listener)
+    try {
+      Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+        maxFilesPerTrigger = 2, dedupImpl = "interval")
+    } finally {
+      val deadline = System.currentTimeMillis() + 10000
+      while (maxStateRows < 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      spark.streams.removeListener(listener)
+    }
+    // replay absorbed, tail applied: exact oracle over history + tail
+    assert(liveState(lake) == OracleFold.finalState(events ++ tail))
+    // the rebased run's commits landed ABOVE the old batchId — none were
+    // swallowed by the replay guard
+    assert(lake.snapshot().batchId > batchIdBefore)
+    // fresh state rebuilt from scratch stays bitmap-bounded
+    assert(maxStateRows >= 0 && maxStateRows <= events.size / 10)
+  }
+
   test("stop/restart: redelivery across restart collapses; state resumes") {
     val cfg = GenConfig(seed = 31, numConvs = 40, eventsPerConv = 20)
     val events = BinlogGen.events(cfg)
