@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.apply.MergeApply
+import graft.apply.{MergeApply, MultiApply}
 import graft.dedup.Dedup
 import graft.lake.LakeTable
 import graft.model.{Op, Schemas}
@@ -250,13 +250,27 @@ final class RawAppendSink(
     else spark.read.schema(stagedSchema).parquet(dirs: _*)
   }
 
+  /** True when the staged envelope carries a destination-table column —
+    * the reference's multi-table raw staging (`_dst_table` on every staged
+    * row, src/connectors/sinks/postgres/raw_table.rs:132-191). Normalize
+    * then fans out per table.
+    */
+  private[graft] def isMultiTable: Boolean =
+    stagedSchema.fieldNames.contains("table")
+
   /** Normalize pass (on-demand form): fold the ENTIRE raw log into live
     * final-table rows — schema-evolution ddl events in the log contribute
     * their add-lsn so pre-add events don't carry the column (same
     * semantics as the streaming MERGE path). O(history); use
-    * [[normalizeIncremental]] for repeated production folds.
+    * [[normalizeIncremental]] for repeated production folds. Single-table
+    * logs only: a multi-table staged log MUST go through the per-table
+    * incremental fold — folding it flat would LWW-collide rows from
+    * different tables that share (conv_id, turn_idx).
     */
   def normalize(spark: SparkSession): DataFrame = {
+    require(!isMultiTable,
+      "staged log carries a `table` column: use normalizeIncremental " +
+        "(per-table fan-out) — a flat fold would collide keys across tables")
     val raw = read(spark)
     val addLsn: Map[String, Long] = raw
       .filter(col("op") === Op.SchemaChange && col("ddl").startsWith("add:"))
@@ -264,7 +278,7 @@ final class RawAppendSink(
       .collect()
       .map(r => r.getString(0).split(":", 3)(1) -> r.getLong(1))
       .toMap
-    val payload = Schemas.payloadCols(Schemas.transcript)
+    val payload = Schemas.payloadCols(schema)
     Dedup.lwwReduce(raw.filter(col("op") < Op.SchemaChange), payload, addLsn)
       .filter(col("op") =!= Op.Delete)
       .select((Schemas.keys ++ payload).map(col): _*)
@@ -283,12 +297,59 @@ final class RawAppendSink(
     normLakeHandle
   }
 
+  // per-destination-table normalized lakes (multi-table staging); handles
+  // are cached so each table's manifest-resolution memoization survives
+  // across folds, same as normLakeHandle
+  private def tablesDir = new Path(root, "_normalized_tables")
+
+  @transient private lazy val tableLakeHandles =
+    new java.util.concurrent.ConcurrentHashMap[String, LakeTable]()
+
+  private def tableLakeHandle(t: String): LakeTable = {
+    // table names become path components: refuse anything that could
+    // escape the sink root (data-driven directory traversal)
+    require(t.nonEmpty && t.matches("[A-Za-z0-9_.\\-]+") &&
+      t != "." && t != "..", s"unsafe destination table name '$t'")
+    tableLakeHandles.computeIfAbsent(t,
+      t => new LakeTable(new Path(tablesDir, t).toString, hadoopConf))
+  }
+
+  /** Per-table normalized lakes created so far (multi-table staging). */
+  def normalizedTableLakes(): Map[String, LakeTable] =
+    if (!fs.exists(tablesDir)) Map.empty
+    else fs.listStatus(tablesDir).toSeq.filter(_.isDirectory)
+      .map(s => s.getPath.getName -> tableLakeHandle(s.getPath.getName))
+      .toMap
+
+  /** Highest batch id every normalized lake has folded (−1 = none): the
+    * compaction bound. Multi-table takes the MIN across per-table lakes —
+    * a batch is only "normalized" once every table saw it.
+    */
+  private[graft] def normalizeWatermark(): Long =
+    if (isMultiTable) {
+      val lakes = normalizedTableLakes()
+      if (lakes.isEmpty) -1L
+      else lakes.values.map(_.snapshot().batchId).min
+    } else if (normLakeHandle.snapshotVersions().isEmpty) -1L
+    else normLakeHandle.snapshot().batchId
+
   /** Incremental normalize: fold only the raw batches newer than the
-    * normalized table's watermark into it, advance the watermark with the
-    * same commit, and return the normalized live rows. Repeated calls with
-    * no new raw batches are pure reads — no fold job at all.
+    * normalize watermark into the persistent normalized table(s), advance
+    * the watermark with the same commit, and return the normalized live
+    * rows. Repeated calls with no new raw batches are pure reads — no
+    * fold job at all.
+    *
+    * A staged log carrying a `table` column fans out per destination
+    * table into one normalized lake each (the reference normalizer's
+    * per-`_dst_table` routing, normalizer.rs:231-240): lakes are created
+    * on first sight of a table, the fold applies through [[MultiApply]]
+    * (concurrent per-table MERGEs, per-lake batchId idempotence), and the
+    * watermark is the MIN across table lakes so a crash mid-fan-out
+    * replays idempotently. Returns the union of per-table live rows
+    * tagged with their `table`.
     */
   def normalizeIncremental(spark: SparkSession): DataFrame = {
+    if (isMultiTable) return normalizeIncrementalMulti(spark)
     val lake = normalizedLake(spark)
     val done = lake.snapshot().batchId // the normalize watermark
     val pending = committedBatches().filter(_._1 > done)
@@ -315,6 +376,46 @@ final class RawAppendSink(
       (Seq("conv_id", "turn_idx") ++ cols).map(col): _*)
   }
 
+  private def normalizeIncrementalMulti(spark: SparkSession): DataFrame = {
+    val done = normalizeWatermark()
+    val pending = committedBatches().filter(_._1 > done)
+    val cUpTo = compactedUpTo
+    val compactedPending =
+      if (cUpTo > done) Seq(new Path(root, s"compacted-$cUpTo").toString)
+      else Seq.empty
+    val srcs = compactedPending ++ pending.map(_._2.toString)
+    if (srcs.nonEmpty) {
+      val df = spark.read.schema(stagedSchema).parquet(srcs: _*)
+        .select((Schemas.changeEvent.fieldNames.toSeq :+ "table").map(col): _*)
+      // destination tables present in the pending range get their lakes
+      // created up front; MultiApply then routes per table (anything with
+      // a NULL/unsafe table is surfaced by its untracked-drop warning)
+      val present = df.filter(col("table").isNotNull)
+        .select(collect_set(col("table"))).head().getSeq[String](0)
+      present.foreach { t =>
+        val lk = tableLakeHandle(t)
+        if (lk.snapshotVersions().isEmpty) lk.create(schema, numBuckets)
+      }
+      MultiApply.applyBatch(spark, normalizedTableLakes(), df,
+        math.max(cUpTo, pending.map(_._1).foldLeft(-1L)(math.max)))
+      ()
+    }
+    val lakes = normalizedTableLakes()
+    if (lakes.isEmpty) {
+      val empty = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name.startsWith("_")))
+        .add("table", org.apache.spark.sql.types.StringType)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    }
+    lakes.toSeq.sortBy(_._1).map { case (t, lk) =>
+      val cols = Schemas.payloadCols(lk.snapshot().schema)
+      lk.read(spark)
+        .select((Seq("conv_id", "turn_idx") ++ cols).map(col): _*)
+        .withColumn("table", lit(t))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Coalesce batch dirs at or below `upTo` (default: the normalize
     * watermark) plus any earlier compacted dir into one
     * `compacted-<upTo>` dir. Kill-safe because committed `compacted-<id>`
@@ -328,16 +429,10 @@ final class RawAppendSink(
     */
   def compactRaw(spark: SparkSession, upTo: Long = Long.MinValue): Int = {
     val prev = compactedUpTo
-    val bound =
-      if (upTo != Long.MinValue) upTo
-      else {
-        val lake = LakeTable(spark, s"$root/_normalized")
-        if (lake.snapshotVersions().isEmpty) return 0
-        lake.snapshot().batchId
-      }
-    // resume-cleanup from a previous crashed run: batch dirs and compacted
-    // generations superseded by the current floor are invisible to readers
-    // already — remove them regardless of whether new work exists
+    // resume-cleanup from a previous crashed run FIRST (before any early
+    // return): batch dirs and compacted generations superseded by the
+    // current floor are invisible to readers already — remove them
+    // regardless of whether new work exists or a normalized lake does
     var removed = 0
     for ((id, p) <- committedBatches() if id <= prev) {
       fs.delete(p, true); removed += 1
@@ -345,6 +440,9 @@ final class RawAppendSink(
     for ((id, p) <- compactedDirs() if id < prev) {
       fs.delete(p, true); removed += 1
     }
+    val bound =
+      if (upTo != Long.MinValue) upTo
+      else normalizeWatermark() // -1 before any fold: nothing eligible
     val eligible = committedBatches().filter { case (id, _) =>
       id > prev && id <= bound }
     if (eligible.isEmpty) return removed

@@ -133,6 +133,69 @@ class SinkSpec extends SparkSpec {
     assert(raw.normalizedLake(spark).snapshot().batchId == 3L)
   }
 
+  test("multi-table raw staging normalizes per table (no cross-table key collisions)") {
+    import org.apache.spark.sql.functions.{col, substring, when, lit}
+    // deliberately OVERLAPPING keys across tables: conv ids repeat in a and
+    // b, so the old flat fold would LWW-collide them (the ADVICE finding)
+    val cfg = GenConfig(seed = 83, numConvs = 30, eventsPerConv = 20,
+      pctUpdate = 0.3, pctDelete = 0.1,
+      addToolAtLsn = Some(2L * 30 * 20 / 4 + 1))
+    val events = BinlogGen.events(cfg)
+    val n = substring(col("conv_id"), 6, 8).cast("int")
+    def tag(df: org.apache.spark.sql.DataFrame) = df.withColumn("table",
+      when(col("conv_id").isNull, lit("a")) // ddl rows evolve table a
+        .when(n % 2 === 0, "a").otherwise("b"))
+    def tableOf(c: String) = if (c.stripPrefix("conv_").toInt % 2 == 0) "a" else "b"
+    val work = tmpDir("sinkmulti")
+    val raw = new RawAppendSink(s"$work/raw",
+      spark.sparkContext.hadoopConfiguration)
+    val (h1, h2) = events.splitAt(events.size / 2)
+    raw.applyBatch(spark, tag(spark.createDataset(h1.toVector).toDF()), 0L)
+    assert(raw.isMultiTable, "staged schema must record the table column")
+    // flat folds must refuse a multi-table log loudly
+    intercept[IllegalArgumentException] { raw.normalize(spark) }
+
+    def liveByTable(): Map[String, Vector[(String, Int, String, String, String, java.sql.Timestamp)]] =
+      raw.normalizeIncremental(spark)
+        .select("table", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .as[(String, String, Int, String, String, String, java.sql.Timestamp)]
+        .collect().toVector.groupBy(_._1)
+        .view.mapValues(_.map(r => (r._2, r._3, r._4, r._5, r._6, r._7))
+          .sortBy(t => (t._1, t._2))).toMap
+    def oracleFor(evs: Seq[graft.model.ChangeEvent], t: String) =
+      payloadOf(OracleFold.finalState(
+        evs.filter(e => e.conv_id == null || tableOf(e.conv_id) == t),
+        Map("tool" -> cfg.addToolAtLsn.get)))
+
+    // first incremental fold: per-table equality over the first half
+    val after1 = liveByTable()
+    assert(after1("a") == oracleFor(h1, "a"), "table a diverged after fold 1")
+    assert(after1("b") == oracleFor(h1, "b"), "table b diverged after fold 1")
+    // watermark = MIN across table lakes; compaction honors it
+    assert(raw.compactRaw(spark) == 1)
+    assert(raw.compactedUpTo == 0L)
+
+    // second half + a replayed slice; fold is incremental + idempotent
+    raw.applyBatch(spark, tag(spark.createDataset(
+      (h2 ++ h1.take(15)).sortBy(_.lsn).toVector).toDF()), 1L)
+    val after2 = liveByTable()
+    assert(after2("a") == oracleFor(events, "a"), "table a diverged after fold 2")
+    assert(after2("b") == oracleFor(events, "b"), "table b diverged after fold 2")
+    // equality with the per-table MERGE-sink folds (the reference's
+    // normalizer-vs-sync contract): route the same events through two
+    // single-table merge sinks and compare final payloads
+    for (t <- Seq("a", "b")) {
+      val mergeSink = Sink.create(spark,
+        SinkConfig("lake-merge", s"$work/merge-$t", numBuckets = 4))
+      val evs = events.filter(e => e.conv_id == null || tableOf(e.conv_id) == t)
+      mergeSink.applyBatch(spark,
+        spark.createDataset(evs.toVector).toDF(), 0L)
+      assert(payload(mergeSink.read(spark)) ==
+        after2(t).map(r => (r._1, r._2, r._3, r._4, r._5, r._6)),
+        s"raw-append normalize != merge sink for table $t")
+    }
+  }
+
   test("compaction past the normalize watermark cannot lose events") {
     val cfg = GenConfig(seed = 101, numConvs = 20, eventsPerConv = 10)
     val events = BinlogGen.events(cfg)
