@@ -7,7 +7,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Per-commit lineage record (one per micro-batch apply), the Spark-side
   * replacement for the reference's `dbmazz_checkpoints` + `_dbmazz._metadata`
@@ -113,6 +113,7 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
   private def logDir = new Path(root, "_log")
   private def dataDir = new Path(root, "data")
   private def manifestsDir = new Path(root, "_manifests")
+  private def lineageDir = new Path(root, "_lineage")
   private def metaPath(v: Long) = new Path(logDir, f"v$v%012d.meta")
 
   // ---------------------------------------------------------------- reads
@@ -152,7 +153,13 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     */
   @transient @volatile private[graft] var manifestFileReads: Long = 0L
 
+  /** Count of snapshot meta-file opens — test/diagnostic hook proving
+    * metrics paths (lineageDf) don't scale with version count.
+    */
+  @transient @volatile private[graft] var metaFileReads: Long = 0L
+
   def readSnapshot(version: Long): Snapshot = {
+    metaFileReads += 1
     val snap = SnapshotCodec.decode(readTextFile(metaPath(version)))
     if (snap.bucketManifests.isEmpty) snap
     else {
@@ -452,7 +459,34 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     if (!won)
       throw new IllegalStateException(
         s"commit race: $target already exists")
+    appendLineage(snap)
   }
+
+  /** Append this commit's lineage row to the append-only `_lineage/` table
+    * (one tiny JSON-lines file per commit — same driver-side cost class as
+    * the meta write; SURVEY §1.4's design). Written AFTER the meta rename:
+    * a row can never claim a version that didn't commit; the rarer inverse
+    * crash window (committed version missing its row) is repairable from
+    * the meta, which still carries the lineage redundantly. This is what
+    * makes [[lineageDf]] one distributed scan instead of O(versions)
+    * sequential driver meta decodes, and makes lineage history survive
+    * [[vacuum]] (the reference's metrics history outlives checkpoint GC,
+    * src/control/metrics_sampler.rs:1-67).
+    */
+  private def appendLineage(snap: Snapshot): Unit =
+    snap.lineage.foreach { l =>
+      fs.mkdirs(lineageDir)
+      val row =
+        s"""{"snapshot_version":${snap.version},"batch_id":${l.batchId},""" +
+          s""""start_lsn":${l.startLsn},"end_lsn":${l.endLsn},""" +
+          s""""inserted":${l.inserted},"updated":${l.updated},""" +
+          s""""deleted":${l.deleted},"wall_ms":${l.wallMs},""" +
+          s""""rows_after":${l.bucketRows.values.sum},""" +
+          s""""schema_version":${snap.schemaVersion},""" +
+          s""""skipped_evolutions":${l.skippedEvolutions}}\n"""
+      val o = fs.create(new Path(lineageDir, f"v${snap.version}%012d.json"), true)
+      try o.write(row.getBytes(StandardCharsets.UTF_8)) finally o.close()
+    }
 
   /** Time travel: read the table as of an older committed version (the
     * snapshot log is immutable, so every version stays readable until its
@@ -576,11 +610,30 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     (dropped.size, files)
   }
 
-  /** Lineage/metrics as a DataFrame (derived from the snapshot log — always
-    * consistent with committed state; replaces the reference's HTTP
-    * status/metrics endpoints, src/control/handlers.rs:255-312).
+  private val lineageSchema = StructType(Seq(
+    StructField("snapshot_version", org.apache.spark.sql.types.LongType),
+    StructField("batch_id", org.apache.spark.sql.types.LongType),
+    StructField("start_lsn", org.apache.spark.sql.types.LongType),
+    StructField("end_lsn", org.apache.spark.sql.types.LongType),
+    StructField("inserted", org.apache.spark.sql.types.LongType),
+    StructField("updated", org.apache.spark.sql.types.LongType),
+    StructField("deleted", org.apache.spark.sql.types.LongType),
+    StructField("wall_ms", org.apache.spark.sql.types.LongType),
+    StructField("rows_after", org.apache.spark.sql.types.LongType),
+    StructField("schema_version", org.apache.spark.sql.types.IntegerType),
+    StructField("skipped_evolutions", org.apache.spark.sql.types.LongType)))
+
+  /** Lineage/metrics as a DataFrame. Reads the append-only `_lineage/`
+    * table — ONE distributed scan, no driver-side decode of every snapshot
+    * meta (the round-4 audit's O(versions)-sequential-FS-reads wall) — and
+    * history survives [[vacuum]], which GCs metas but never lineage.
+    * Tables created before the lineage table existed (no `_lineage/` dir)
+    * fall back to the legacy snapshot-log derivation.
     */
   def lineageDf(spark: SparkSession): DataFrame = {
+    if (fs.exists(lineageDir))
+      return spark.read.schema(lineageSchema).json(lineageDir.toString)
+        .orderBy(col("snapshot_version"))
     import spark.implicits._
     val rows = listVersions().sorted.map(readSnapshot).flatMap { s =>
       s.lineage.map(l => (s.version, l.batchId, l.startLsn, l.endLsn,

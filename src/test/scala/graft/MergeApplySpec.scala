@@ -208,6 +208,28 @@ class MergeApplySpec extends SparkSpec {
       lake.read(spark, includeTombstones = true).count())
   }
 
+  test("lineage is an append-only table: O(1) meta reads, survives vacuum") {
+    val lake = newLake(4)
+    val batches = (0 until 6).map(i =>
+      Seq(ev(2L * i + 2, Op.Insert, s"c$i", 0, text = s"t$i")))
+    applyAll(lake, batches)
+    // reading the full lineage history opens ZERO snapshot metas — it is
+    // one distributed scan of the _lineage table, not an O(versions)
+    // driver decode loop (the round-4 audit finding)
+    val r0 = lake.metaFileReads
+    val full = lake.lineageDf(spark).collect()
+    assert(lake.metaFileReads == r0,
+      s"lineageDf opened ${lake.metaFileReads - r0} metas")
+    assert(full.length == batches.size)
+    // vacuum GCs old metas but lineage history is retained in full
+    lake.vacuum(keepVersions = 1, graceMs = 0L)
+    assert(lake.snapshotVersions().size == 1)
+    val after = lake.lineageDf(spark)
+      .select("batch_id", "inserted").as[(Long, Long)].collect().toSeq.sorted
+    assert(after == (0 until 6).map(i => (i.toLong, 1L)),
+      s"lineage history lost after vacuum: $after")
+  }
+
   test("vacuum deletes orphans and pre-horizon versions, never live data") {
     val lake = newLake(4)
     applyAll(lake, Seq(
