@@ -96,13 +96,19 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // --lsn-stride N: model byte-position WALs (lsn advances by record
+    // length, not by 1 slot) — same events, stride/2× wider lsn range,
+    // stride/2× more dedup bitmap state (the stride caveat measurement)
+    val stride = opt.getOrElse("--lsn-stride", "2").toLong
     // odd-parity ddl lsn (see CdcRunner: 2*c*e/4+1 is not always odd)
-    val quarterCut = 2L * convs * epc / 4
+    val quarterCut = stride * convs * epc / 4
     val cfg = GenConfig(numConvs = convs, eventsPerConv = epc,
       hotConvs = hot, hotFactor = hotFactor,
-      addToolAtLsn = Some(quarterCut - quarterCut % 2 + 1))
+      addToolAtLsn = Some(quarterCut - quarterCut % 2 + 1),
+      lsnStride = stride)
     val events = cfg.totalEvents
-    val binlogDir = s"$workBase/binlog-c$convs-e$epc-s$segments"
+    val binlogDir = s"$workBase/binlog-c$convs-e$epc-s$segments" +
+      (if (stride != 2L) s"-st$stride" else "")
     val fs = new org.apache.hadoop.fs.Path(workBase)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(binlogDir))) {
@@ -163,6 +169,45 @@ object ScalingBench {
         spark.sparkContext.hadoopConfiguration, Schemas.transcriptNoTool,
         buckets))
       else None
+
+    // Warmup (default on): run the SAME pipeline shape over a tiny
+    // throwaway input before starting the clock. First-batch wall carries
+    // fixed JVM/JIT/codegen + state-store cold-start cost identical at
+    // every parallelism level — a constant that depresses FULL-RUN N→4N
+    // efficiency while steady-state batches clear 0.8 (round-4
+    // decomposition). A real long-lived daemon pays it once per process,
+    // not once per measurement; pre-warming restores that accounting.
+    if (!args.contains("--no-warmup")) {
+      val wt0 = System.nanoTime()
+      val warmBinlog = s"$workBase/binlog-warmup"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(warmBinlog)))
+        BinlogGen.writeSegments(spark,
+          BinlogGen.eventsDs(spark, GenConfig(numConvs = 2000,
+            eventsPerConv = 10)).toDF(), warmBinlog, 2)
+      val warmDir = s"$runDir/warmup"
+      if (rawMode) {
+        val warmRaw = new graft.sink.RawAppendSink(s"$warmDir/raw",
+          spark.sparkContext.hadoopConfiguration, Schemas.transcriptNoTool, 8)
+        Pipeline.startWithSink(spark, warmBinlog, warmRaw, s"$warmDir/ckpt",
+          maxFilesPerTrigger = 1, availableNow = true, transportDedup = dedup,
+          watermarkDelay = wmDelay, applyShufflePartitions = Some(shuffle),
+          dedupImpl = dedupImpl).awaitTermination()
+        warmRaw.normalizeIncremental(spark).count()
+        ()
+      } else {
+        val warmLake = LakeTable(spark, s"$warmDir/lake")
+        warmLake.create(Schemas.transcriptNoTool, 8)
+        Pipeline.runAvailable(spark, warmBinlog, warmLake, s"$warmDir/ckpt",
+          maxFilesPerTrigger = 1, transportDedup = dedup,
+          applyShufflePartitions = Some(shuffle), watermarkDelay = wmDelay,
+          dedupImpl = dedupImpl)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(warmDir), true)
+      Thread.sleep(1500) // listener bus is async: let warmup events land
+      progressBuf.synchronized(progressBuf.clear())
+      System.err.println(
+        f"[scaling] warmup done in ${(System.nanoTime() - wt0) / 1e9}%.1f s")
+    }
     val t0 = System.nanoTime()
     var syncSec = -1.0
     var normSec = -1.0
@@ -210,7 +255,8 @@ object ScalingBench {
       f""""liveRows":$live,"contentHash":"$contentHash",""" +
       f""""segments":$segments,"batches":${segments / fpt},""" +
       f""""statePartitions":$statePartitions,"shuffle":$shuffle,""" +
-      s""""dedup":$dedup,"dedupImpl":"$dedupImpl",""" +
+      s""""dedup":$dedup,"dedupImpl":"$dedupImpl","lsnStride":$stride,""" +
+      s""""warmup":${!args.contains("--no-warmup")},""" +
       (if (rawMode) f""""sink":"raw-append","syncSec":$syncSec%.2f,"normSec":$normSec%.2f,""" else "") +
       s""""batchWallMs":[${perBatch.mkString(",")}],""" +
       s""""progress":[${progressBuf.synchronized(progressBuf.mkString(","))}]}""")

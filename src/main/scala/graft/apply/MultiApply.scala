@@ -17,6 +17,22 @@ import graft.lake.LakeTable
   */
 object MultiApply {
 
+  // One long-lived daemon pool shared by every multi-table apply: at a 5 s
+  // trigger, creating and tearing down a pool per micro-batch was constant
+  // allocator churn (round-4 audit). Sized to the host; per-call
+  // concurrency is bounded separately by a semaphore so maxConcurrent
+  // still holds per batch.
+  private lazy val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-multiapply-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   /** Apply one micro-batch to every routed lake. Returns the number of
     * events skipped because their table is untracked. The batch must carry
     * a `table` column; each lake keeps its own batchId guard, so replaying
@@ -66,20 +82,23 @@ object MultiApply {
           MergeApply.applyBatch(spark, lakes(t),
             cached.filter(col("table") === t).drop("table"), batchId)
       } else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(targets.size, maxConcurrent))
-        try {
-          val futures = targets.map { t =>
-            pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = {
+        val gate = new java.util.concurrent.Semaphore(maxConcurrent)
+        val futures = targets.map { t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              gate.acquire()
+              try {
                 MergeApply.applyBatch(spark, lakes(t),
                   cached.filter(col("table") === t).drop("table"), batchId)
                 ()
-              }
-            })
-          }
-          // propagate the FIRST failure (unwrapped) — a failing table must
-          // halt the stream exactly as in the sequential path
+              } finally gate.release()
+            }
+          })
+        }
+        // propagate the FIRST failure (unwrapped) — a failing table must
+        // halt the stream exactly as in the sequential path; cancel the
+        // rest (the pool is shared now, so no shutdownNow to sweep them)
+        try {
           futures.foreach { f =>
             try f.get()
             catch {
@@ -87,9 +106,10 @@ object MultiApply {
                 throw e.getCause
             }
           }
-        } finally {
-          pool.shutdownNow()
-          ()
+        } catch {
+          case e: Throwable =>
+            futures.foreach(_.cancel(true))
+            throw e
         }
       }
       skipped

@@ -31,7 +31,15 @@ case class GenConfig(
     pctDelete: Double = 0.10,
     pctUnchanged: Double = 0.15, // share of updates that omit `text` (TOAST)
     addToolAtLsn: Option[Long] = None, // odd lsn at which `tool` is added
-    txSize: Int = 8) {
+    txSize: Int = 8,
+    // lsn distance between consecutive events (default 2: odd lsns are
+    // ddl-reserved). Real WAL offsets are BYTE positions advancing by
+    // record length (reference: src/core/position.rs:6-26) — a larger
+    // stride models that: same event count, ~stride/2× wider lsn range,
+    // proportionally more dedup bitmap buckets touched. Must be even.
+    lsnStride: Long = 2L) {
+  require(lsnStride >= 2L && lsnStride % 2 == 0,
+    s"lsnStride must be even and >= 2, got $lsnStride")
   def convId(c: Long): String = f"conv_$c%08d"
   def totalEvents: Long =
     hotConvs.toLong * eventsPerConv * hotFactor +
@@ -56,7 +64,7 @@ object BinlogGen {
     var xid = cfg.seed * 31 + c
     var inTx = 0
     for (j <- 0 until n) {
-      val lsn = 2L * (j.toLong * cfg.numConvs + c) + 2L
+      val lsn = cfg.lsnStride * (j.toLong * cfg.numConvs + c) + cfg.lsnStride
       if (inTx >= 1 + rnd.nextInt(cfg.txSize)) { xid += 1; inTx = 0 }
       inTx += 1
       val roll = rnd.nextDouble()
