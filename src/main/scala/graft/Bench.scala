@@ -63,12 +63,21 @@ object Bench {
     val errs = agg.collect { case (n, (_, _, _, Some(e))) =>
       s"\"${esc(n)}\":\"${esc(e)}\"" }.mkString("{", ",", "}")
     val total = agg.values.map(_._1).sum
-    val json =
+    // The driver tail-captures stdout and has twice truncated mid-JSON
+    // (r1, r4 `parsed: null`): keep the stdout line COMPACT (no minmax —
+    // that tripled its length) and print it immediately; the full record
+    // (medians + min/max + errors) goes to BENCH.json, the spread to a
+    // sidecar, both committed artifacts.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$k,"errors":$errs,"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$k,"minmax":$spread,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
-    // Belt and braces for the driver: also persist the line as a file (sbt
-    // log prefixes made round 1's BENCH_r01.json `parsed: null`).
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json)
+    println(compact)
+    Console.out.flush()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), full)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_minmax.json"),
+      s"""{"samples":$k,"minmax":$spread}""")
     spark.stop()
   }
 }

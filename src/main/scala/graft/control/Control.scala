@@ -25,7 +25,10 @@ case class ControlStatus(
     // A9 rate/lag (reference metrics_sampler.rs:1-67): last batch's
     // events/sec and event-time lag; -1/-1 before any progress
     eventsPerSec: Double = -1.0,
-    lagMs: Long = -1L)
+    lagMs: Long = -1L,
+    // backfill progress detail (reference per-table snapshot progress,
+    // handlers.rs:255-291): total planned chunks, -1 = no chunk source
+    backfillTotal: Int = -1)
 
 /** The engine control plane: pause / resume / drain / stop / status plus
   * the on-demand snapshot trigger — the Spark collapse of the reference's
@@ -58,6 +61,11 @@ final class Control(
   // endpoints must answer during exactly that window
   @volatile private var query: Option[StreamingQuery] = None
 
+  // reloadable knobs (the reference's config-reload verb re-reads sync
+  // settings without dropping replication state, handlers.rs:103-223);
+  // applied at the next (re)start against the SAME checkpoint
+  @volatile private var filesPerTrigger: Int = maxFilesPerTrigger
+
   /** Per-batch rate/lag observations (A9), fed by the streaming listener
     * bus for this engine's query; [[metricsDf]] exposes the history, the
     * latest sample surfaces in [[status]].
@@ -73,9 +81,25 @@ final class Control(
   def resume(): Unit = synchronized {
     if (!isRunning)
       query = Some(Pipeline.start(spark, binlogDir, lake, checkpointDir,
-        maxFilesPerTrigger, availableNow = false,
+        filesPerTrigger, availableNow = false,
         transportDedup = transportDedup, chunkSource = chunkSource,
         dedupImpl = dedupImpl))
+  }
+
+  /** Config reload (reference handlers.rs:103-223): apply new settings and
+    * restart the query against the SAME checkpoint — offsets, dedup state
+    * and lake position all carry over; only the runtime knobs change. A
+    * paused engine stays paused (the new config takes effect at the next
+    * [[resume]]).
+    */
+  def reload(newMaxFilesPerTrigger: Option[Int] = None): Unit = synchronized {
+    val wasRunning = isRunning
+    pause()
+    newMaxFilesPerTrigger.foreach { n =>
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      filesPerTrigger = n
+    }
+    if (wasRunning) resume()
   }
 
   /** Graceful pause: the in-flight micro-batch finishes and commits, then
@@ -94,7 +118,7 @@ final class Control(
   def drain(): Unit = synchronized {
     pause()
     Pipeline.runAvailable(spark, binlogDir, lake, checkpointDir,
-      maxFilesPerTrigger, transportDedup, chunkSource,
+      filesPerTrigger, transportDedup, chunkSource,
       dedupImpl = dedupImpl)
   }
 
@@ -122,6 +146,17 @@ final class Control(
     if (snap.backfillDone != 0) lake.commitBackfillProgress(snap, 0)
   }
 
+  /** Atomic paused-check + trigger for the HTTP facade: the handler's old
+    * `if (isRunning) 409 else triggerSnapshot()` pair let a concurrent
+    * POST /resume slip between check and trigger — holding the control
+    * lock across both (resume() synchronizes on the same lock) closes
+    * that window. Returns false (→ 409) when the stream is running.
+    */
+  def triggerSnapshotIfPaused(): Boolean = synchronized {
+    if (isRunning) false
+    else { triggerSnapshot(); true }
+  }
+
   def status(): ControlStatus = {
     val snap = lake.snapshot()
     ControlStatus(
@@ -136,7 +171,8 @@ final class Control(
       lastBatchSkippedEvolutions =
         snap.lineage.map(_.skippedEvolutions).getOrElse(0L),
       eventsPerSec = metrics.latest.map(_.eventsPerSec).getOrElse(-1.0),
-      lagMs = metrics.latest.map(_.lagMs).getOrElse(-1L))
+      lagMs = metrics.latest.map(_.lagMs).getOrElse(-1L),
+      backfillTotal = chunkSource.map(_.numChunks).getOrElse(-1))
   }
 
   /** Detach the metrics listener (call when discarding this Control). */

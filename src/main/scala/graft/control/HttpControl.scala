@@ -16,14 +16,24 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *   POST /drain     → process the available backlog, then stop
   *   POST /snapshot  → on-demand re-snapshot trigger (handlers.rs:103-180;
   *                     requires paused stream, HTTP 409 otherwise)
+  *   POST /reload    → apply new runtime knobs (?maxFilesPerTrigger=N) and
+  *                     restart against the same checkpoint
+  *                     (handlers.rs:103-223)
   *
   * Deliberately JDK-only (com.sun.net.httpserver): the control plane is an
   * ops convenience, not a data path — it must add zero dependencies and
   * zero load. JSON is assembled by hand for the same reason.
+  *
+  * Binds LOOPBACK by default: the verbs mutate engine state with no
+  * authentication, so exposing them beyond the host must be an explicit
+  * operator decision (`bindAddress = "0.0.0.0"`) fronted by whatever auth
+  * layer the deployment provides.
   */
-final class HttpControl(ctl: Control, port: Int = 0) {
+final class HttpControl(ctl: Control, port: Int = 0,
+    bindAddress: String = "127.0.0.1") {
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server =
+    HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
   // without an executor every endpoint shares the single dispatcher
   // thread, so a long POST /drain would block GET /status — give the
   // server a small pool (status/metrics stay lock-free on the Control
@@ -61,13 +71,30 @@ final class HttpControl(ctl: Control, port: Int = 0) {
 
   private def statusJson: String = {
     val s = ctl.status()
+    val backfill =
+      if (s.backfillTotal < 0) s""""backfill":null"""
+      else s""""backfill":{"done":${s.backfillDone},""" +
+        s""""total":${s.backfillTotal},""" +
+        s""""complete":${s.backfillDone >= s.backfillTotal}}"""
     s"""{"running":${s.running},"snapshotVersion":${s.snapshotVersion},""" +
       s""""batchId":${s.batchId},"endLsn":${s.endLsn},""" +
       s""""schemaVersion":${s.schemaVersion},"backfillDone":${s.backfillDone},""" +
+      s"""$backfill,""" +
       s""""rowCount":${s.rowCount},"lastBatchWallMs":${s.lastBatchWallMs},""" +
       s""""skippedEvolutions":${s.lastBatchSkippedEvolutions},""" +
       s""""eventsPerSec":${s.eventsPerSec},"lagMs":${s.lagMs}}"""
   }
+
+  /** Parse a query string into key→value (simple knob names/values only —
+    * no URL decoding needed for the accepted grammar).
+    */
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split('&')
+      .filter(_.contains('='))
+      .map { kv =>
+        val i = kv.indexOf('=')
+        kv.substring(0, i) -> kv.substring(i + 1)
+      }.toMap
 
   server.createContext("/status", handler(_ => (200, statusJson)))
   server.createContext("/metrics", handler { _ =>
@@ -88,9 +115,18 @@ final class HttpControl(ctl: Control, port: Int = 0) {
   })
   server.createContext("/snapshot", handler { ex =>
     postOnly(ex) {
-      if (ctl.isRunning)
+      // atomic check+trigger inside the control lock: a concurrent
+      // POST /resume can no longer slip between them
+      if (ctl.triggerSnapshotIfPaused()) (200, statusJson)
+      else
         (409, """{"error":"pause the stream before triggering a snapshot"}""")
-      else { ctl.triggerSnapshot(); (200, statusJson) }
+    }
+  })
+  server.createContext("/reload", handler { ex =>
+    postOnly(ex) {
+      val fpt = queryParams(ex).get("maxFilesPerTrigger").map(_.toInt)
+      ctl.reload(newMaxFilesPerTrigger = fpt)
+      (200, statusJson)
     }
   })
 

@@ -71,6 +71,58 @@ class HttpControlSpec extends SparkSpec {
 
       // pause is idempotent when nothing runs
       assert(post(port, "/pause")._1 == 200)
+
+      // no chunk source -> backfill detail is explicitly null in status
+      assert(get(port, "/status")._2.contains("\"backfill\":null"))
+
+      // reload round-trip: new knob applies, engine stays paused (it was),
+      // a later resume+pause works against the same checkpoint
+      val (c3, s3) = post(port, "/reload?maxFilesPerTrigger=4")
+      assert(c3 == 200 && s3.contains("\"running\":false"))
+      assert(post(port, "/resume")._2.contains("\"running\":true"))
+      // reload of a RUNNING engine restarts it against the same checkpoint
+      val (c4, s4) = post(port, "/reload?maxFilesPerTrigger=2")
+      assert(c4 == 200 && s4.contains("\"running\":true"))
+      assert(post(port, "/pause")._2.contains("\"running\":false"))
+      // a bad knob value is a loud 500
+      assert(post(port, "/reload?maxFilesPerTrigger=0")._1 == 500)
+    } finally {
+      http.stop()
+      ctl.close()
+    }
+  }
+
+  test("backfill progress detail in /status (per-table parity)") {
+    val cfg = GenConfig(seed = 89, numConvs = 20, eventsPerConv = 10)
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("httpbackfill")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(events).toDF(), s"$work/binlog", 2)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 4)
+    val src = new graft.apply.Backfill.ChunkSource {
+      def numChunks: Int = 2
+      def chunkRows(s: org.apache.spark.sql.SparkSession, i: Int, lw: Long) = {
+        import org.apache.spark.sql.functions._
+        spark.createDataset(
+          OracleFold.finalState(events.filter(_.lsn <= lw))).toDF()
+          .filter(pmod(hash(col("conv_id")), lit(2)) === i)
+      }
+    }
+    val ctl = new Control(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 2, chunkSource = Some(src))
+    val http = new HttpControl(ctl).start()
+    try {
+      val port = http.boundPort
+      assert(get(port, "/status")._2.contains(
+        """"backfill":{"done":0,"total":2,"complete":false}"""))
+      post(port, "/drain")
+      assert(get(port, "/status")._2.contains(
+        """"backfill":{"done":2,"total":2,"complete":true}"""))
+      // snapshot trigger resets the cursor atomically (engine paused)
+      assert(post(port, "/snapshot")._1 == 200)
+      assert(get(port, "/status")._2.contains(
+        """"backfill":{"done":0,"total":2,"complete":false}"""))
     } finally {
       http.stop()
       ctl.close()
