@@ -5,7 +5,7 @@ import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -47,8 +47,8 @@ case class Snapshot(
     lineage: Option[LineageEntry],
     files: Seq[DataFileEntry],
     // cumulative per-bucket row counts (incl. tombstones), maintained across
-    // COW commits from each write job's Observation — the A3 row-count
-    // estimate with zero file IO (reference: footer-count probe,
+    // COW commits from each write job's post-write stats scan — the A3
+    // row-count estimate (reference: footer-count probe,
     // src/engine/snapshot/chunker.rs:96-158)
     bucketRowCounts: Map[Int, Long] = Map.empty,
     // number of concurrent-backfill chunks completed (chunks finish in
@@ -66,7 +66,7 @@ case class Snapshot(
     bucketManifests: Map[Int, String] = Map.empty,
     // per-bucket MIN `_lsn` among delete tombstones (buckets with none are
     // absent) — maintained across COW commits from each write job's
-    // Observation, exactly like bucketRowCounts (zero extra file IO). This
+    // post-write stats scan, exactly like bucketRowCounts. This
     // is what lets compaction SELECT dirty buckets (minTombLsn <= horizon)
     // instead of rewriting the whole table — the COW analog of the
     // reference's O(processed-range) DELETE-after-normalize
@@ -279,8 +279,8 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     // table's total file count.
     val newManifests = writeManifests(newFiles, base.version + 1)
     val manifests = (base.bucketManifests -- touchedBuckets) ++ newManifests
-    // lineageFn reads Observation results — only valid after the write
-    // action above materialized the plan.
+    // lineageFn reads the merge Observation's results — only valid after
+    // the write action above materialized the plan.
     val lin = lineageFn.map(_.apply()).getOrElse(lineage)
     val next = Snapshot(
       version = base.version + 1,
@@ -373,9 +373,15 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
 
   /** Write `df` (rows of `schema` + any extra helper cols dropped here) as
     * per-bucket parquet files; returns the new file entries plus per-bucket
-    * row counts taken from the write job itself (an `Observation` — no
-    * driver-side footer re-reads). One shuffle, partitioned by bucket, so
-    * each task writes one bucket directory.
+    * row counts and min tombstone lsns. The stats come from a FOLLOW-UP
+    * groupBy job over the just-written files — a 3-column columnar scan of
+    * page-cache-hot data — NOT from inline `observe` aggregates: per-bucket
+    * observe expressions evaluate O(numBuckets) conditional aggregates on
+    * EVERY row of the write path, which at the 10^4-10^5 buckets a 100 TB
+    * table wants would put tens of thousands of branch evaluations into
+    * the hot loop. The scan is O(rows) regardless of bucket count. One
+    * shuffle, partitioned by bucket, so each task writes one bucket
+    * directory.
     *
     * Files land under a commit-unique directory and keep the final names
     * Spark gave them — no driver rename pass (serial at 10^4-10^5 files, and
@@ -393,32 +399,35 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       bucketExpr(numBuckets).as("_bucket")
     val parts = math.max(1, math.min(touched.size,
       spark.sessionState.conf.numShufflePartitions))
-    val obs = Observation()
     val hasAudit = schema.fieldNames.contains("_op") &&
       schema.fieldNames.contains("_lsn")
-    val perBucket = touched.toSeq.sorted.map(b =>
-      sum(when(col("_bucket") === b, 1L).otherwise(0L)).as(s"b$b"))
-    // min tombstone lsn per bucket: the compaction dirty-bucket index,
-    // computed by the same job that writes the files
-    val perBucketTomb =
-      if (!hasAudit) Seq.empty
-      else touched.toSeq.sorted.map(b =>
-        min(when(col("_bucket") === b && col("_op") === 2, col("_lsn")))
-          .as(s"tb$b"))
     df.select(cols: _*)
-      .observe(obs, count(lit(1)).as("total"), perBucket ++ perBucketTomb: _*)
       .repartition(parts, col("_bucket"))
       .write.partitionBy("_bucket").mode("overwrite")
       .parquet(out.toString)
-    val rows = obs.get
-    val rowsByBucket = touched.toSeq.sorted
-      .map(b => b -> rows(s"b$b").asInstanceOf[Long])
-      .filter(_._2 > 0).toMap
-    val tombMinByBucket =
-      if (!hasAudit) Map.empty[Int, Long]
-      else touched.toSeq.sorted.flatMap { b =>
-        Option(rows(s"tb$b")).map(v => b -> v.asInstanceOf[Long])
-      }.toMap
+    // per-bucket row counts + min tombstone lsn (the compaction
+    // dirty-bucket index) from the written files: `_bucket` is recovered
+    // as the partition column, `_op`/`_lsn` are a pruned 2-column read
+    val statCols =
+      if (hasAudit)
+        Seq(count(lit(1)).as("n"),
+          min(when(col("_op") === 2, col("_lsn"))).as("tomb"))
+      else Seq(count(lit(1)).as("n"), lit(null).cast("long").as("tomb"))
+    // a zero-row write leaves no _bucket= dirs (nothing to read or track)
+    val hasData = fs.exists(out) &&
+      fs.listStatus(out).exists(_.getPath.getName.startsWith("_bucket="))
+    val stats =
+      if (hasData)
+        spark.read.parquet(out.toString)
+          .groupBy(col("_bucket").cast("int").as("b"))
+          .agg(statCols.head, statCols.tail: _*)
+          .collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val rowsByBucket = stats
+      .map(r => r.getInt(0) -> r.getLong(1)).filter(_._2 > 0).toMap
+    val tombMinByBucket = stats
+      .flatMap(r => if (r.isNullAt(2)) None else Some(r.getInt(0) -> r.getLong(2)))
+      .toMap
     val entries = fs.listStatus(out).filter(_.isDirectory).toSeq.flatMap { bd =>
       val b = bd.getPath.getName.stripPrefix("_bucket=").toInt
       fs.listStatus(bd.getPath).toSeq
@@ -505,7 +514,7 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     * Bucket selection is O(metadata) — no data scan:
     *
     *   - tombstone-dirty: `bucketTombMinLsn(b) <= horizonLsn` (the
-    *     snapshot's Observation-maintained index, exact);
+    *     snapshot's write-time-maintained index, exact);
     *   - file-dirty: the bucket has more than `fileThreshold` data files
     *     (counted from the in-memory manifest).
     *
@@ -632,7 +641,11 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     */
   def lineageDf(spark: SparkSession): DataFrame = {
     if (fs.exists(lineageDir))
+      // dropDuplicates: a crashed compactLineage can leave a row in both
+      // the combined file and a not-yet-deleted original — reads stay
+      // exact through every crash window
       return spark.read.schema(lineageSchema).json(lineageDir.toString)
+        .dropDuplicates("snapshot_version")
         .orderBy(col("snapshot_version"))
     import spark.implicits._
     val rows = listVersions().sorted.map(readSnapshot).flatMap { s =>
@@ -643,6 +656,34 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     rows.toDF("snapshot_version", "batch_id", "start_lsn", "end_lsn",
       "inserted", "updated", "deleted", "wall_ms", "rows_after",
       "schema_version", "skipped_evolutions")
+  }
+
+  /** Maintenance: coalesce per-commit lineage files into one combined
+    * JSON-lines file (bounding `_lineage/` at one file per compaction
+    * cycle plus the commits since — at a 5 s trigger a day adds ~17k tiny
+    * files, which this folds away). Pure driver-side string IO; crash-safe
+    * because the combined file commits via no-overwrite rename BEFORE the
+    * originals are deleted, and [[lineageDf]] dedups on snapshot_version,
+    * so every crash window reads exactly once. Returns files folded.
+    */
+  def compactLineage(): Int = {
+    if (!fs.exists(lineageDir)) return 0
+    val parts = fs.listStatus(lineageDir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith(".")) // crashed .tmp- leftovers
+      .sortBy(_.getPath.getName)
+    if (parts.size <= 1) return 0
+    val combined = new StringBuilder
+    parts.foreach(p => combined ++= readTextFile(p.getPath))
+    val name = s"c-${UUID.randomUUID().toString.take(12)}.json"
+    val tmp = new Path(lineageDir, s".tmp-$name")
+    val o = fs.create(tmp, true)
+    try o.write(combined.result().getBytes(StandardCharsets.UTF_8))
+    finally o.close()
+    require(atomicFs.renameNoOverwrite(tmp, new Path(lineageDir, name)),
+      s"lineage compaction target $name already exists")
+    parts.foreach(p => fs.delete(p.getPath, false))
+    parts.size
   }
 
   /** Startup schema reconcile (E6, reference:

@@ -228,6 +228,27 @@ class MergeApplySpec extends SparkSpec {
       .select("batch_id", "inserted").as[(Long, Long)].collect().toSeq.sorted
     assert(after == (0 until 6).map(i => (i.toLong, 1L)),
       s"lineage history lost after vacuum: $after")
+    // lineage compaction folds per-commit files into one; reads unchanged,
+    // and a crash window (combined + one surviving original) stays exact
+    // thanks to the snapshot_version dedup
+    assert(lake.compactLineage() == 6)
+    assert(lake.compactLineage() == 0) // converged: single file left
+    val fsys = new org.apache.hadoop.fs.Path(lake.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lfiles = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(lake.root, "_lineage"))
+    assert(lfiles.length == 1)
+    // simulate the crash window: re-plant one original alongside the
+    // combined file — the duplicated row must not double-count
+    val dup = lake.lineageDf(spark).filter($"batch_id" === 2L)
+      .toJSON.collect().mkString("", "\n", "\n")
+    val o = fsys.create(new org.apache.hadoop.fs.Path(lake.root,
+      "_lineage/v000000000004.json"), true)
+    o.write(dup.getBytes("UTF-8")); o.close()
+    assert(lake.lineageDf(spark).count() == 6)
+    assert(lake.lineageDf(spark)
+      .select("batch_id", "inserted").as[(Long, Long)].collect().toSeq.sorted
+      == after)
   }
 
   test("vacuum deletes orphans and pre-horizon versions, never live data") {
