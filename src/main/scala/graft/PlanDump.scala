@@ -80,6 +80,8 @@ object PlanDump {
       DataOps.textContamination(spark, sfDir))
     dump("text_pii_scrub (pure map, no exchange)")(
       DataOps.piiScrub(spark, sfDir))
+    dump("dedup_cluster (label propagation: per-round equi-join + min-agg)")(
+      DataOps.dedupCluster(spark, sfDir))
     spark.stop()
   }
 }

@@ -39,6 +39,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> (DataOps.minhashSignatures(_, _)),
     "dedup_minhash_lsh_pairs" -> (DataOps.minhashLshPairs(_, _)),
     "dedup_ngram_jaccard" -> (DataOps.ngramJaccard(_, _)),
+    "dedup_cluster" -> (DataOps.dedupCluster(_, _)),
     "dedup_simhash" -> (DataOps.simhash(_, _)),
     "dedup_embedding_neardup" -> (DataOps.embeddingNearDup(_, _)),
     "sim_dot_topk" -> (DataOps.dotTopK(_, _)),
@@ -78,6 +79,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> DataOps.minhashSignaturesSql,
     "dedup_minhash_lsh_pairs" -> DataOps.minhashLshPairsSql,
     "dedup_ngram_jaccard" -> DataOps.ngramJaccardSql,
+    "dedup_cluster" -> DataOps.dedupClusterSql,
     "dedup_simhash" -> DataOps.simhashSql,
     "dedup_embedding_neardup" -> DataOps.embeddingNearDupSql,
     "sim_dot_topk" -> DataOps.dotTopKSql,

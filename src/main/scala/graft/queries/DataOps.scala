@@ -187,7 +187,10 @@ object DataOps {
     }
   }
 
-  val ngramJaccardSql: String =
+  /** CTE chain ending in `jac(doc_a, doc_b, jaccard_bp)` — shared by the
+    * pairwise oracle below and the clustering oracle.
+    */
+  private val ngramJaccardCoreSql: String =
     lshPairsCoreSql + """,
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
@@ -195,14 +198,102 @@ object DataOps {
       |  FROM cand
       |  JOIN sh a ON a.doc_id = doc_a
       |  JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
-      |  GROUP BY doc_a, doc_b)
-      |SELECT doc_a, doc_b,
-      |  (coalesce(i, 0) * 10000) // (c1.n + c2.n - coalesce(i, 0)) AS jaccard_bp
-      |FROM cand
-      |JOIN cnt c1 ON c1.doc_id = doc_a
-      |JOIN cnt c2 ON c2.doc_id = doc_b
-      |LEFT JOIN inter USING (doc_a, doc_b)
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  GROUP BY doc_a, doc_b),
+      |jac AS (
+      |  SELECT doc_a, doc_b,
+      |    (coalesce(i, 0) * 10000) // (c1.n + c2.n - coalesce(i, 0)) AS jaccard_bp
+      |  FROM cand
+      |  JOIN cnt c1 ON c1.doc_id = doc_a
+      |  JOIN cnt c2 ON c2.doc_id = doc_b
+      |  LEFT JOIN inter USING (doc_a, doc_b))""".stripMargin
+
+  val ngramJaccardSql: String =
+    ngramJaccardCoreSql +
+      "\nSELECT doc_a, doc_b, jaccard_bp FROM jac ORDER BY doc_a, doc_b"
+
+  /** Near-duplicate CLUSTERING: connected components over the verified
+    * near-dup graph (LSH candidates → exact Jaccard ≥ 0.8), component
+    * label = min doc_id. This is the step that turns pair-finding into a
+    * dedup decision at corpus scale: keep `cluster_id == doc_id`, drop the
+    * rest — and it must be transitive (a≈b, b≈c ⇒ one cluster) even when
+    * the a–c edge was never scored, which no pairwise op provides.
+    *
+    * Scale path: min-label propagation — each round is ONE shuffle
+    * equi-join of the label frame against the symmetrized edge list plus a
+    * map-side-combined min-aggregate, converging in O(component diameter)
+    * rounds (near-dup components are shallow star/clique shapes; a
+    * `maxRounds` guard fails loudly on pathological chains rather than
+    * looping). Only vertices that appear in an edge iterate — the vast
+    * singleton majority joins in once at the end — so per-round work is
+    * O(near-dup docs), not O(corpus). Each round eagerly checkpoints the
+    * label frame, keeping plan lineage O(1) in rounds (on a cluster,
+    * point `spark.sparkContext.setCheckpointDir` at durable storage and
+    * swap `localCheckpoint` for `checkpoint`). The per-round convergence
+    * check is a single scalar count — the only driver-side read.
+    * Reference point: dbmazz has no corpus-dedup stage; the construction
+    * follows the public MapReduce-CC literature (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    */
+  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val verified = ngramJaccard(spark, sfDir) // releases prior leases
+      .filter(col("jaccard_bp") >= 8000)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = verified.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(verified.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    val maxRounds = 25
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy("src").agg(min("cluster_id").as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === col("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"),
+            coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    require(converged, s"dedup_cluster: labels not stable after $maxRounds rounds")
+    val assigned = docs(spark, sfDir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "cid"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+    val out = assigned
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+      .persist()
+    out.count()
+    lease(out)
+  }
+
+  /** DuckDB oracle: same verified edge set, components via a recursive
+    * reachability closure (min over the reachable set of an undirected
+    * graph = the component minimum). Exact-integer throughout.
+    */
+  val dedupClusterSql: String =
+    "WITH RECURSIVE" + (ngramJaccardCoreSql + """,
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard_bp >= 8000
+      |  UNION
+      |  SELECT doc_b AS a, doc_a AS b FROM jac WHERE jaccard_bp >= 8000),
+      |reach AS (
+      |  SELECT doc_id AS src, doc_id AS dst FROM documents
+      |  UNION
+      |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst),
+      |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1)
+      |SELECT doc_id, cluster_id,
+      |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      |FROM lab ORDER BY doc_id""".stripMargin).stripPrefix("WITH")
 
   /** SimHash (60-bit, word unigrams): per-bit majority vote over md5-derived
     * word hashes. The bit algebra is integer-exact, so the DuckDB oracle

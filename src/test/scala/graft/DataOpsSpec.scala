@@ -58,6 +58,37 @@ class DataOpsSpec extends SparkSpec {
     assert(verified.forall(v => v._3 >= 0 && v._3 <= 10000))
   }
 
+  test("near-dup clustering matches driver-side union-find over verified pairs") {
+    // independent model: union-find over the exact-Jaccard-verified edges
+    val edges = DataOps.ngramJaccard(spark, sf).collect()
+      .collect { case r if r.getLong(2) >= 8000 => (r.getLong(0), r.getLong(1)) }
+    assert(edges.nonEmpty, "fixture must contain verified near-dup edges")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = DataOps.dedupCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == all, "every doc gets a cluster assignment")
+    val byCluster = got.groupBy(_._2)
+    for ((id, cid, size) <- got) {
+      assert(cid == find(id), s"doc $id cluster")
+      assert(size == byCluster(cid).length.toLong, s"doc $id cluster_size")
+    }
+    // the fixture exercises transitivity: at least one component of size >= 3
+    assert(got.exists(_._3 >= 3), "expected a multi-hop component in the fixture")
+    // canonical representative is a member of its own cluster
+    for ((cid, members) <- byCluster)
+      assert(members.map(_._1).min == cid, s"cluster $cid canonical id")
+  }
+
   test("contamination check matches a naive 3-gram overlap model") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
