@@ -248,18 +248,25 @@ object DataOps {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      // One shuffle round: neighbor-min aggregate + label join. The change
+      // flag rides INSIDE the checkpointed frame, so convergence costs a
+      // scalar agg over the already-materialized checkpoint — not a second
+      // join of consecutive label frames (labels only ever decrease, so
+      // new < old ⇔ changed).
       val nbrMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy("src").agg(min("cluster_id").as("nbr_min"))
       val next = labels.as("l")
         .join(nbrMin, col("l.doc_id") === col("src"), "left")
-        .select(col("l.doc_id").as("doc_id"),
+        .select(col("l.doc_id").as("doc_id"), col("l.cluster_id").as("old_id"),
           least(col("l.cluster_id"),
             coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+        .withColumn("_chg", (col("cluster_id") < col("old_id")).cast("long"))
+        .select("doc_id", "cluster_id", "_chg")
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = next
+      val changed = Option(next.agg(sum("_chg")).first().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
       round += 1
     }
