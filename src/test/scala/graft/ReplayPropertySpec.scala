@@ -67,6 +67,52 @@ class ReplayPropertySpec extends SparkSpec {
     }
   }
 
+  test("random ddl placement: add-gated column under random splits/replays == oracle") {
+    import org.apache.spark.sql.types.StringType
+    for (seed <- 1L to 6L) {
+      val rnd = new Random(seed * 977)
+      val pre = rnd.nextBoolean() // table pre-created WITH the column?
+      val addLsn = 2L * (1 + rnd.nextInt(130)) - 1 // odd (ddl convention)
+      // Realistic stream: below the add the source does not emit the
+      // column. When the table is NOT pre-created we instead plant junk
+      // values there, so suppression must come from the add-lsn gate (and
+      // from payload projection before the ddl arrives), not by accident.
+      val events = randomLog(seed + 50, 120).map { e =>
+        if (e.lsn < addLsn && e.op != Op.Delete)
+          e.copy(tool = if (pre) null else s"junk${e.lsn}")
+        else e
+      }
+      val ddl = ChangeEvent(addLsn, Op.SchemaChange, null, 0, null, null,
+        null, new Timestamp(BinlogGen.BaseMs), false, 0L,
+        s"add:tool:${StringType.json}")
+      // a replayed/duplicate add at a later lsn must NOT move the gate
+      val dup = ddl.copy(lsn = addLsn + 2 * (1 + rnd.nextInt(50)))
+      val all = (events :+ ddl) ++ (if (rnd.nextBoolean()) Seq(dup) else Nil)
+      val sorted = all.sortBy(_.lsn).toVector
+      val nb = 1 + rnd.nextInt(5)
+      val cuts = (Vector.fill(nb - 1)(rnd.nextInt(sorted.size)).sorted
+        :+ sorted.size)
+      val batches = (0 +: cuts).sliding(2).map { case Seq(a, b) =>
+        sorted.slice(a, b)
+      }.filter(_.nonEmpty).toVector
+      val lake = LakeTable(spark, tmpDir(s"ddlprop$seed"))
+      lake.create(if (pre) Schemas.transcript else Schemas.transcriptNoTool, 4)
+      var id = 0L
+      for (b <- batches) {
+        MergeApply.applyBatch(spark, lake, spark.createDataset(b).toDF(), id)
+        if (rnd.nextBoolean()) // at-least-once: replay ddl batches too
+          MergeApply.applyBatch(spark, lake, spark.createDataset(b).toDF(), id)
+        id += 1
+      }
+      val expect = OracleFold.finalState(all, Map("tool" -> addLsn))
+      assert(liveState(lake) == expect,
+        s"seed=$seed pre=$pre addLsn=$addLsn batches=${batches.map(_.size)}")
+      // bookkeeping: first add wins; the duplicate ddl cannot move it
+      assert(lake.snapshot().colAddLsn.get("tool").contains(addLsn),
+        s"seed=$seed colAddLsn=${lake.snapshot().colAddLsn}")
+    }
+  }
+
   test("salted two-phase LWW ≡ single-phase LWW on random skewed batches") {
     for (seed <- 1L to 4L) {
       val events = randomLog(seed * 7, 300)
