@@ -218,18 +218,11 @@ object DataOps {
     * rest — and it must be transitive (a≈b, b≈c ⇒ one cluster) even when
     * the a–c edge was never scored, which no pairwise op provides.
     *
-    * Scale path: min-label propagation — each round is ONE shuffle
-    * equi-join of the label frame against the symmetrized edge list plus a
-    * map-side-combined min-aggregate, converging in O(component diameter)
-    * rounds (near-dup components are shallow star/clique shapes; a
-    * `maxRounds` guard fails loudly on pathological chains rather than
-    * looping). Only vertices that appear in an edge iterate — the vast
-    * singleton majority joins in once at the end — so per-round work is
-    * O(near-dup docs), not O(corpus). Each round eagerly checkpoints the
-    * label frame, keeping plan lineage O(1) in rounds (on a cluster,
-    * point `spark.sparkContext.setCheckpointDir` at durable storage and
-    * swap `localCheckpoint` for `checkpoint`). The per-round convergence
-    * check is a single scalar count — the only driver-side read.
+    * Scale path: min-label propagation with pointer jumping
+    * ([[connectedComponents]]) — O(log diameter) rounds, each one shuffle
+    * equi-join + min-aggregate over the label frame. Only vertices that
+    * appear in an edge iterate — the vast singleton majority joins in once
+    * at the end — so per-round work is O(near-dup docs), not O(corpus).
     * Reference point: dbmazz has no corpus-dedup stage; the construction
     * follows the public MapReduce-CC literature (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14).
@@ -238,39 +231,7 @@ object DataOps {
     val verified = ngramJaccard(spark, sfDir) // releases prior leases
       .filter(col("jaccard_bp") >= 8000)
       .select(col("doc_a"), col("doc_b"))
-    val edges = verified.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(verified.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
-    val maxRounds = 25
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      // One shuffle round: neighbor-min aggregate + label join. The change
-      // flag rides INSIDE the checkpointed frame, so convergence costs a
-      // scalar agg over the already-materialized checkpoint — not a second
-      // join of consecutive label frames (labels only ever decrease, so
-      // new < old ⇔ changed).
-      val nbrMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy("src").agg(min("cluster_id").as("nbr_min"))
-      val next = labels.as("l")
-        .join(nbrMin, col("l.doc_id") === col("src"), "left")
-        .select(col("l.doc_id").as("doc_id"), col("l.cluster_id").as("old_id"),
-          least(col("l.cluster_id"),
-            coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
-        .withColumn("_chg", (col("cluster_id") < col("old_id")).cast("long"))
-        .select("doc_id", "cluster_id", "_chg")
-        .localCheckpoint(true)
-      val changed = Option(next.agg(sum("_chg")).first().get(0))
-        .fold(0L)(_.asInstanceOf[Long])
-      labels = next.select("doc_id", "cluster_id")
-      converged = changed == 0
-      round += 1
-    }
-    require(converged, s"dedup_cluster: labels not stable after $maxRounds rounds")
+    val labels = connectedComponents(verified)
     val assigned = docs(spark, sfDir).select(col("doc_id"))
       .join(labels.withColumnRenamed("cluster_id", "cid"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
@@ -281,6 +242,67 @@ object DataOps {
       .persist()
     out.count()
     lease(out)
+  }
+
+  /** Connected components of the undirected graph given as `(doc_a, doc_b)`
+    * pairs: returns `(doc_id, cluster_id)` for every vertex that appears in
+    * an edge, with `cluster_id` = the component's minimum vertex id. Each
+    * round eagerly checkpoints the label frame, keeping plan lineage O(1)
+    * in rounds (on a cluster, point `setCheckpointDir` at durable storage
+    * and swap `localCheckpoint` for `checkpoint`); the per-round
+    * convergence check is a single scalar agg over the materialized
+    * checkpoint — the only driver-side read.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    val maxRounds = 25
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // Each round: (1) neighbor-min — one shuffle equi-join + map-side-
+      // combined min-aggregate; (2) pointer jumping — labels are vertex
+      // ids, so a self-join reads each vertex's LABEL'S label (path
+      // halving). (1) alone converges in O(diameter) rounds — a
+      // chain-shaped component of length L (templated docs with gradual
+      // drift) would need L rounds; with (2) the round count is
+      // O(log diameter), which is what survives adversarial shapes at
+      // corpus scale. Labels only ever decrease and stay inside their
+      // component, so the fixpoint is still the component minimum, and
+      // new < old ⇔ changed — the change flag rides INSIDE the
+      // checkpointed frame and convergence costs one scalar agg over the
+      // materialized checkpoint, not a join of consecutive label frames.
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy("src").agg(min("cluster_id").as("nbr_min"))
+      val stepped = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === col("src"), "left")
+        .select(col("l.doc_id").as("doc_id"), col("l.cluster_id").as("old_id"),
+          least(col("l.cluster_id"),
+            coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      val next = stepped.as("a")
+        .join(stepped.select(col("doc_id").as("jd"), col("cluster_id").as("jc"))
+          .as("b"), col("a.cluster_id") === col("jd"), "left")
+        .select(col("a.doc_id").as("doc_id"),
+          least(col("a.cluster_id"),
+            coalesce(col("jc"), col("a.cluster_id"))).as("cluster_id"),
+          (least(col("a.cluster_id"), coalesce(col("jc"), col("a.cluster_id")))
+            < col("a.old_id")).cast("long").as("_chg"))
+        .localCheckpoint(true)
+      val changed = Option(next.agg(sum("_chg")).first().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      labels = next.select("doc_id", "cluster_id")
+      converged = changed == 0
+      round += 1
+    }
+    require(converged,
+      s"connectedComponents: labels not stable after $maxRounds rounds")
+    labels
   }
 
   /** DuckDB oracle: same verified edge set, components via a recursive

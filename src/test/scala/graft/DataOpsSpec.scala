@@ -89,6 +89,22 @@ class DataOpsSpec extends SparkSpec {
       assert(members.map(_._1).min == cid, s"cluster $cid canonical id")
   }
 
+  test("connected components converge on an adversarial chain (pointer jumping)") {
+    import spark.implicits._
+    // a 300-vertex path: plain neighbor-min propagation needs ~300 rounds,
+    // far over the 25-round bound — only O(log diameter) pointer jumping
+    // converges here. Offset ids so min-id isn't trivially vertex 0, plus a
+    // second component and an isolated self-contained clique.
+    val path = (0L until 299L).map(i => (1000L + i, 1000L + i + 1))
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 5L) yield (a, b)
+    val pairs = (path ++ clique).toDF("doc_a", "doc_b")
+    val got = DataOps.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 305)
+    for (i <- 1000L to 1299L) assert(got(i) == 1000L, s"vertex $i")
+    for (i <- 1L to 5L) assert(got(i) == 1L, s"vertex $i")
+  }
+
   test("contamination check matches a naive 3-gram overlap model") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
