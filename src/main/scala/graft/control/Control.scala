@@ -28,7 +28,10 @@ case class ControlStatus(
     lagMs: Long = -1L,
     // backfill progress detail (reference per-table snapshot progress,
     // handlers.rs:255-291): total planned chunks, -1 = no chunk source
-    backfillTotal: Int = -1)
+    backfillTotal: Int = -1,
+    // snapshot gate (reference snapshot_pause, handlers.rs:233-253):
+    // true = backfill chunks held while the CDC stream keeps flowing
+    snapshotPaused: Boolean = false)
 
 /** The engine control plane: pause / resume / drain / stop / status plus
   * the on-demand snapshot trigger — the Spark collapse of the reference's
@@ -66,6 +69,24 @@ final class Control(
   // applied at the next (re)start against the SAME checkpoint
   @volatile private var filesPerTrigger: Int = maxFilesPerTrigger
 
+  // Snapshot gate (reference snapshot_pause/resume, handlers.rs:233-253):
+  // consulted by the pipeline's foreachBatch before EACH interleaved
+  // backfill chunk, so a pause takes effect at the next chunk boundary
+  // while the CDC stream keeps flowing — exactly the reference split
+  // between the replication loop and the snapshot task. @volatile, not
+  // the control lock: the flag is read from the streaming thread.
+  @volatile private var snapshotPausedFlag: Boolean = false
+
+  def snapshotPaused: Boolean = snapshotPausedFlag
+
+  /** Hold further backfill chunks (the stream keeps flowing). Idempotent;
+    * takes effect at the next chunk boundary within the current batch.
+    */
+  def pauseSnapshot(): Unit = snapshotPausedFlag = true
+
+  /** Let backfill chunks interleave again. Idempotent. */
+  def resumeSnapshot(): Unit = snapshotPausedFlag = false
+
   /** Per-batch rate/lag observations (A9), fed by the streaming listener
     * bus for this engine's query; [[metricsDf]] exposes the history, the
     * latest sample surfaces in [[status]].
@@ -83,7 +104,8 @@ final class Control(
       query = Some(Pipeline.start(spark, binlogDir, lake, checkpointDir,
         filesPerTrigger, availableNow = false,
         transportDedup = transportDedup, chunkSource = chunkSource,
-        dedupImpl = dedupImpl))
+        dedupImpl = dedupImpl,
+        backfillGate = () => !snapshotPausedFlag))
   }
 
   /** Config reload (reference handlers.rs:103-223): apply new settings and
@@ -119,7 +141,8 @@ final class Control(
     pause()
     Pipeline.runAvailable(spark, binlogDir, lake, checkpointDir,
       filesPerTrigger, transportDedup, chunkSource,
-      dedupImpl = dedupImpl)
+      dedupImpl = dedupImpl,
+      backfillGate = () => !snapshotPausedFlag)
   }
 
   def stop(): Unit = pause()
@@ -172,7 +195,8 @@ final class Control(
         snap.lineage.map(_.skippedEvolutions).getOrElse(0L),
       eventsPerSec = metrics.latest.map(_.eventsPerSec).getOrElse(-1.0),
       lagMs = metrics.latest.map(_.lagMs).getOrElse(-1L),
-      backfillTotal = chunkSource.map(_.numChunks).getOrElse(-1))
+      backfillTotal = chunkSource.map(_.numChunks).getOrElse(-1),
+      snapshotPaused = snapshotPausedFlag)
   }
 
   /** Detach the metrics listener (call when discarding this Control). */

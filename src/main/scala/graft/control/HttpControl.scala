@@ -19,6 +19,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *   POST /reload    → apply new runtime knobs (?maxFilesPerTrigger=N) and
   *                     restart against the same checkpoint
   *                     (handlers.rs:103-223)
+  *   GET  /health    → liveness probe (handlers.rs health route)
+  *   POST /stop      → stop the engine (reference stop verb; identical to
+  *                     pause in this engine — resume restarts from the
+  *                     same checkpoint either way)
+  *   POST /snapshot/pause  → hold further backfill chunks while the CDC
+  *                           stream keeps flowing (handlers.rs:233-245)
+  *   POST /snapshot/resume → let backfill chunks interleave again
   *
   * Deliberately JDK-only (com.sun.net.httpserver): the control plane is an
   * ops convenience, not a data path — it must add zero dependencies and
@@ -82,7 +89,8 @@ final class HttpControl(ctl: Control, port: Int = 0,
       s"""$backfill,""" +
       s""""rowCount":${s.rowCount},"lastBatchWallMs":${s.lastBatchWallMs},""" +
       s""""skippedEvolutions":${s.lastBatchSkippedEvolutions},""" +
-      s""""eventsPerSec":${s.eventsPerSec},"lagMs":${s.lagMs}}"""
+      s""""eventsPerSec":${s.eventsPerSec},"lagMs":${s.lagMs},""" +
+      s""""snapshotPaused":${s.snapshotPaused}}"""
   }
 
   /** Parse a query string into key→value (simple knob names/values only —
@@ -128,6 +136,21 @@ final class HttpControl(ctl: Control, port: Int = 0,
       ctl.reload(newMaxFilesPerTrigger = fpt)
       (200, statusJson)
     }
+  })
+  // liveness only — no snapshot read, so it answers even mid-commit
+  server.createContext("/health", handler { _ =>
+    (200, s"""{"status":"ok","running":${ctl.isRunning}}""")
+  })
+  server.createContext("/stop", handler { ex =>
+    postOnly(ex) { ctl.stop(); (200, statusJson) }
+  })
+  // JDK HttpServer matches the LONGEST registered context prefix, so these
+  // win over the plain /snapshot trigger above for their exact paths
+  server.createContext("/snapshot/pause", handler { ex =>
+    postOnly(ex) { ctl.pauseSnapshot(); (200, statusJson) }
+  })
+  server.createContext("/snapshot/resume", handler { ex =>
+    postOnly(ex) { ctl.resumeSnapshot(); (200, statusJson) }
   })
 
   def start(): HttpControl = { server.start(); this }

@@ -128,7 +128,11 @@ object Pipeline {
       chunkSource: Option[Backfill.ChunkSource] = None,
       chunksPerBatch: Int = 1,
       applyShufflePartitions: Option[Int] = None,
-      dedupImpl: String = "interval"): StreamingQuery = {
+      dedupImpl: String = "interval",
+      // consulted before each interleaved backfill step: false pauses the
+      // snapshot while the CDC stream keeps flowing (reference
+      // snapshot_pause, handlers.rs:233-245)
+      backfillGate: () => Boolean = () => true): StreamingQuery = {
     val src0 = spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -148,7 +152,8 @@ object Pipeline {
         // src/engine/mod.rs:199-254)
         chunkSource.foreach { src =>
           var n = 0
-          while (n < chunksPerBatch && Backfill.step(ss, lake, src)) n += 1
+          while (n < chunksPerBatch && backfillGate() &&
+            Backfill.step(ss, lake, src)) n += 1
         }
         ()
       }
@@ -245,16 +250,17 @@ object Pipeline {
       chunksPerBatch: Int = 1,
       applyShufflePartitions: Option[Int] = None,
       watermarkDelay: String = "10 minutes",
-      dedupImpl: String = "interval"): Unit = {
+      dedupImpl: String = "interval",
+      backfillGate: () => Boolean = () => true): Unit = {
     val q = start(spark, binlogDir, lake, checkpointDir, maxFilesPerTrigger,
       availableNow = true, transportDedup = transportDedup,
       watermarkDelay = watermarkDelay,
       chunkSource = chunkSource, chunksPerBatch = chunksPerBatch,
       applyShufflePartitions = applyShufflePartitions,
-      dedupImpl = dedupImpl)
+      dedupImpl = dedupImpl, backfillGate = backfillGate)
     q.awaitTermination()
     chunkSource.foreach { src =>
-      while (Backfill.step(spark, lake, src)) ()
+      while (backfillGate() && Backfill.step(spark, lake, src)) ()
     }
   }
 }

@@ -86,6 +86,16 @@ class HttpControlSpec extends SparkSpec {
       assert(post(port, "/pause")._2.contains("\"running\":false"))
       // a bad knob value is a loud 500
       assert(post(port, "/reload?maxFilesPerTrigger=0")._1 == 500)
+
+      // liveness probe: GET-able, reflects running state, never touches
+      // the lake snapshot
+      val (ch, sh) = get(port, "/health")
+      assert(ch == 200 && sh.contains("\"status\":\"ok\"") &&
+        sh.contains("\"running\":false"))
+
+      // stop verb (reference stop): halts the query like pause
+      assert(post(port, "/resume")._2.contains("\"running\":true"))
+      assert(post(port, "/stop")._2.contains("\"running\":false"))
     } finally {
       http.stop()
       ctl.close()
@@ -123,6 +133,20 @@ class HttpControlSpec extends SparkSpec {
       assert(post(port, "/snapshot")._1 == 200)
       assert(get(port, "/status")._2.contains(
         """"backfill":{"done":0,"total":2,"complete":false}"""))
+
+      // snapshot pause holds backfill chunks while the stream still
+      // drains (reference snapshot_pause, handlers.rs:233-245)
+      assert(post(port, "/snapshot/pause")._2.contains(
+        "\"snapshotPaused\":true"))
+      post(port, "/drain")
+      assert(get(port, "/status")._2.contains(
+        """"backfill":{"done":0,"total":2,"complete":false}"""))
+      // resume lets chunks interleave again; the next drain finishes them
+      assert(post(port, "/snapshot/resume")._2.contains(
+        "\"snapshotPaused\":false"))
+      post(port, "/drain")
+      assert(get(port, "/status")._2.contains(
+        """"backfill":{"done":2,"total":2,"complete":true}"""))
     } finally {
       http.stop()
       ctl.close()
