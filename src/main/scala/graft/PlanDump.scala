@@ -82,6 +82,10 @@ object PlanDump {
       DataOps.piiScrub(spark, sfDir))
     dump("dedup_cluster (label propagation: per-round equi-join + min-agg)")(
       DataOps.dedupCluster(spark, sfDir))
+    dump("transcript_assemble (one conv_id shuffle, bounded collect_list)")(
+      CdcQueries.transcriptAssemble(spark, sfDir))
+    dump("data_split (pure map, no exchange)")(
+      DataOps.dataSplit(spark, sfDir))
     spark.stop()
   }
 }

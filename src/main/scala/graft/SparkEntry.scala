@@ -34,6 +34,7 @@ object SparkEntry {
     "cdc_multi_table" -> (CdcQueries.multiTable(_, _)), // P1 + TableRef routing
     "cdc_decimal_ledger" -> (CdcQueries.decimalLedger(_, _)), // F3 + E2 decimal widen
     "cdc_json_bridge" -> (CdcQueries.jsonBridge(_, _)), // F6/F7 payload_json
+    "transcript_assemble" -> (CdcQueries.transcriptAssemble(_, _)), // training-example fold
     // --- training-data pipeline ops ---
     "dedup_exact" -> (DataOps.dedupExact(_, _)),
     "dedup_minhash_sig" -> (DataOps.minhashSignatures(_, _)),
@@ -52,6 +53,7 @@ object SparkEntry {
     "text_contamination" -> (DataOps.textContamination(_, _)),
     "text_pii_scrub" -> (DataOps.piiScrub(_, _)),
     "corpus_stats" -> (DataOps.corpusStats(_, _)),
+    "data_split" -> (DataOps.dataSplit(_, _)),
     // --- general analytics (joins/aggs/windows on Catalyst built-ins) ---
     "q1_agg" -> (Analytics.q1Agg(_, _)),
     "q3_join" -> (Analytics.q3Join(_, _)),
@@ -75,6 +77,7 @@ object SparkEntry {
     "cdc_multi_table" -> CdcQueries.multiTableSql,
     "cdc_decimal_ledger" -> CdcQueries.decimalLedgerSql,
     "cdc_json_bridge" -> CdcQueries.jsonBridgeSql,
+    "transcript_assemble" -> CdcQueries.transcriptAssembleSql,
     "dedup_exact" -> DataOps.dedupExactSql,
     "dedup_minhash_sig" -> DataOps.minhashSignaturesSql,
     "dedup_minhash_lsh_pairs" -> DataOps.minhashLshPairsSql,
@@ -92,6 +95,7 @@ object SparkEntry {
     "text_contamination" -> DataOps.textContaminationSql,
     "text_pii_scrub" -> DataOps.piiScrubSql,
     "corpus_stats" -> DataOps.corpusStatsSql,
+    "data_split" -> DataOps.dataSplitSql,
     "q1_agg" -> Analytics.q1AggSql,
     "q3_join" -> Analytics.q3JoinSql,
     "q_window" -> Analytics.userWindowSql)

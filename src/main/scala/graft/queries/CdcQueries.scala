@@ -142,6 +142,54 @@ object CdcQueries {
       "\nSELECT conv_id, turn_idx, role, text, tool, ts_us, lsn FROM red " +
       "WHERE op <> 2 ORDER BY conv_id, turn_idx"
 
+  /** Training-example assembly (the transcripts-axis end product): fold the
+    * final live state into one training example per conversation — turns
+    * ordered by turn_idx, rendered `role: text`, joined by newline — plus
+    * the per-conversation counts a curation pipeline filters on (turns,
+    * user/assistant turns, whitespace tokens). Scale shape: ONE shuffle on
+    * the high-cardinality conv_id; collect_list groups are bounded by the
+    * turns-per-conversation cap (≤23 here), so no group can blow an
+    * executor — the classic "assemble documents from rows" reduce.
+    */
+  def transcriptAssemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val live = Dedup.lwwReduce(envelope(spark, sfDir).drop("ts"), payload)
+      .filter(col("op") =!= 2)
+    // same whitespace-token formula as DataOps.textTokens, null-safe
+    val toks = when(col("text").isNull, lit(0L)).otherwise(
+      (length(col("text")) -
+        length(regexp_replace(col("text"), " ", "")) + 1).cast("long"))
+    live.groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_assistant"),
+        sum(toks).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("role"),
+              col("text")))),
+            x => concat(x.getField("role"), lit(": "),
+              coalesce(x.getField("text"), lit("")))),
+          "\n").as("example"))
+      .orderBy("conv_id")
+  }
+
+  /** DuckDB oracle: string_agg with ORDER BY reproduces the sorted join;
+    * sums CAST to BIGINT (DuckDB sums integers into HUGEINT, which would
+    * break the schema compare).
+    */
+  val transcriptAssembleSql: String =
+    envelopeSql + lwwSql + """
+      |SELECT conv_id,
+      |  CAST(count(*) AS BIGINT) AS n_turns,
+      |  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+      |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+      |  CAST(sum(CASE WHEN text IS NULL THEN 0
+      |    ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS n_tokens,
+      |  string_agg(role || ': ' || coalesce(text, ''), chr(10) ORDER BY turn_idx) AS example
+      |FROM red WHERE op <> 2 GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
   /** THE end-to-end check: run the real engine (LakeTable + COW MERGE over
     * four lsn-ordered micro-batches) and return the live table — the oracle
     * is the plain SQL fold [[finalStateSql]]. Engine == declarative fold.

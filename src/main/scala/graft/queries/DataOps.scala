@@ -872,4 +872,41 @@ object DataOps {
       |  CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
       |  regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g') AS clean_text
       |FROM planted ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/val/test split: bucket = first 4 md5 hex digits
+    * of the doc id (0..65535) mod 100 → <90 train, <95 val, else test.
+    * Hashing the ID (not the content) makes the assignment stable under
+    * content edits AND under corpus growth — adding docs never moves an
+    * existing doc across splits, the property training pipelines need to
+    * keep eval sets frozen across corpus versions. Scale path: pure map
+    * over one column — zero shuffles, zero UDFs, codegen'd md5; the sort
+    * is presentation-only.
+    */
+  def dataSplit(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle: positional hex parse of the same 4 md5 digits (the
+    * [[simhashSql]] trick — what Spark's conv(,16,10) computes), so the
+    * bucket arithmetic is integer-exact in both engines.
+    */
+  val dataSplitSql: String = {
+    val h4 = (0 until 4).map { p =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${p + 1}, 1)) - 1)" +
+        s" * ${math.pow(16, 3 - p).toLong}"
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, CAST(($h4) % 100 AS BIGINT) AS bucket FROM documents)
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 90 THEN 'train'
+       |    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
 }

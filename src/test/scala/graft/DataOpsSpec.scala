@@ -130,6 +130,54 @@ class DataOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSet == expectIds)
   }
 
+  test("data split matches an independent md5 model and is growth-stable") {
+    val got = DataOps.dataSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.nonEmpty)
+    // independent model: JDK MessageDigest, not Spark's md5
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.take(2).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    for ((id, b, s) <- got) {
+      assert(b == bucket(id), s"doc $id bucket")
+      val expect = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(s == expect, s"doc $id split")
+    }
+    // all three splits are populated and roughly 90/5/5 at 500 docs
+    val byCat = got.groupBy(_._3).map { case (k, v) => k -> v.length }
+    assert(byCat.keySet == Set("train", "val", "test"))
+    assert(byCat("train") > byCat("val") + byCat("test"))
+    // growth stability: the assignment is a pure function of doc_id, so
+    // membership never moves as the corpus grows — model the invariant by
+    // recomputing on ids alone
+    assert(got.forall { case (id, b, _) => bucket(id) == b })
+  }
+
+  test("transcript assembly matches a driver-side fold of the final state") {
+    val live = graft.queries.CdcQueries.finalState(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        Option(r.getString(3))))
+    val expected = live.groupBy(_._1).map { case (conv, turns) =>
+      val sorted = turns.sortBy(_._2)
+      conv -> (
+        turns.length.toLong,
+        turns.count(_._3 == "user").toLong,
+        turns.count(_._3 == "assistant").toLong,
+        turns.map(_._4.fold(0L)(t =>
+          (t.length - t.replace(" ", "").length + 1).toLong)).sum,
+        sorted.map(t => s"${t._3}: ${t._4.getOrElse("")}").mkString("\n"))
+    }
+    val got = graft.queries.CdcQueries.transcriptAssemble(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(got == expected)
+    // every example renders every surviving turn exactly once
+    assert(got.values.map(_._5.count(_ == '\n') + 1).sum == live.length)
+  }
+
   test("pii scrub redacts exactly the planted addresses") {
     val got = DataOps.piiScrub(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
