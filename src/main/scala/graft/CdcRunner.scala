@@ -47,9 +47,12 @@ object CdcRunner {
       .config("spark.sql.adaptive.enabled", "true")
       // see ScalingBench: per-file checksum futures serialize state-store IO
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      // SPARK_GRAFT_ROCKSDB=1: executor-local RocksDB state store — deploy
-      // this on a real cluster (per-executor NVMe); in the one-JVM sandbox
-      // the in-heap provider measures 6.5x faster (BENCH.md A/B)
+      // SPARK_GRAFT_ROCKSDB=1: executor-local RocksDB state store — the
+      // right default on a real cluster (per-executor NVMe + changelog
+      // checkpointing). Round-5 re-A/B under the bitmap dedup container:
+      // 8-core PARITY with in-heap (the round-2 "6.5x slower" verdict was
+      // an artifact of the old per-event hash state); in this one-JVM
+      // sandbox in-heap stays marginally faster, so it remains the default
       .config("spark.sql.streaming.stateStore.providerClass",
         if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -130,9 +133,18 @@ object CdcRunner {
     // baked in at first start — pass `--dedup-impl hash` to resume a
     // checkpoint created before the interval/bitmap dedup became default.
     val dedupImpl = opt.getOrElse("--dedup-impl", "interval")
+    // inline maintenance cadence (compact + vacuum every N batches on the
+    // commit thread); 0 = off. --vacuum-grace-ms shortens the orphan
+    // grace for tests/demos (production keeps the 24 h default).
+    val maintenance = opt.get("--maintenance-every").map(_.toInt)
+      .filter(_ > 0).map(n => graft.pipeline.Pipeline.Maintenance(
+        everyBatches = n,
+        vacuumGraceMs = opt.get("--vacuum-grace-ms").map(_.toLong)
+          .getOrElse(86400000L)))
     if (daemonSecs.isDefined) {
       val ctl = new graft.control.Control(spark, binlogDir, lake, ckptDir,
-        maxFilesPerTrigger = fpt, dedupImpl = dedupImpl)
+        maxFilesPerTrigger = fpt, dedupImpl = dedupImpl,
+        maintenance = maintenance)
       val http = httpPort.map(p => new graft.control.HttpControl(ctl, p).start())
       http.foreach(h => println(s"[cdc] control listening on :${h.boundPort}"))
       ctl.resume()
@@ -143,7 +155,8 @@ object CdcRunner {
     } else {
       val t0 = System.nanoTime()
       Pipeline.runAvailable(spark, binlogDir, lake, ckptDir,
-        maxFilesPerTrigger = fpt, dedupImpl = dedupImpl)
+        maxFilesPerTrigger = fpt, dedupImpl = dedupImpl,
+        maintenance = maintenance)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[cdc] applied ${cfg.totalEvents} events in $secs%.1f s " +
         f"(${cfg.totalEvents / secs}%.0f events/s)")

@@ -57,7 +57,9 @@ final class Control(
     // checkpoint written under the other implementation fails with a
     // state(-schema) mismatch; pass "hash" to keep driving pre-round-4
     // checkpoints.
-    dedupImpl: String = "interval") {
+    dedupImpl: String = "interval",
+    // inline lake maintenance (compact + vacuum on the commit thread)
+    maintenance: Option[Pipeline.Maintenance] = None) {
 
   // @volatile so status()/isRunning never block on the control lock —
   // drain() holds it for the whole backlog, and the observability
@@ -105,7 +107,8 @@ final class Control(
         filesPerTrigger, availableNow = false,
         transportDedup = transportDedup, chunkSource = chunkSource,
         dedupImpl = dedupImpl,
-        backfillGate = () => !snapshotPausedFlag))
+        backfillGate = () => !snapshotPausedFlag,
+        maintenance = maintenance))
   }
 
   /** Config reload (reference handlers.rs:103-223): apply new settings and
@@ -142,7 +145,8 @@ final class Control(
     Pipeline.runAvailable(spark, binlogDir, lake, checkpointDir,
       filesPerTrigger, transportDedup, chunkSource,
       dedupImpl = dedupImpl,
-      backfillGate = () => !snapshotPausedFlag)
+      backfillGate = () => !snapshotPausedFlag,
+      maintenance = maintenance)
   }
 
   def stop(): Unit = pause()

@@ -109,7 +109,8 @@ final class HttpControl(ctl: Control, port: Int = 0,
     val rows = ctl.metrics.samples.map(m =>
       s"""{"batchId":${m.batchId},"tsMs":${m.tsMs},""" +
         s""""inputRows":${m.inputRows},"eventsPerSec":${m.eventsPerSec},""" +
-        s""""lagMs":${m.lagMs}}""")
+        s""""lagMs":${m.lagMs},"cpuMillicores":${m.cpuMillicores},""" +
+        s""""memoryBytes":${m.memoryBytes}}""")
     (200, rows.mkString("[", ",", "]"))
   })
   server.createContext("/pause", handler { ex =>

@@ -21,7 +21,13 @@ case class MetricsSample(
     tsMs: Long,
     inputRows: Long,
     eventsPerSec: Double,
-    lagMs: Long)
+    lagMs: Long,
+    // process resources, the reference sampler's second pair
+    // (metrics_sampler.rs:52-55 + cpu_metrics.rs): CPU as millicores over
+    // the interval since the previous sample (-1 on the first sample),
+    // memory as used JVM heap
+    cpuMillicores: Long = -1L,
+    memoryBytes: Long = -1L)
 
 /** Collects [[MetricsSample]]s for queries matching `queryName` — attach
   * via `spark.streams.addListener` (Control does this on construction).
@@ -36,6 +42,32 @@ final class MetricsSampler(queryName: String, maxSamples: Int = 10000)
   require(maxSamples > 0, "maxSamples must be positive")
 
   private val buf = scala.collection.mutable.ArrayDeque[MetricsSample]()
+
+  // cumulative-process-CPU deltas between samples, exactly how the
+  // reference's CpuTracker derives millicores from /proc ticks
+  // (cpu_metrics.rs): sampling is per batch here, so the interval is the
+  // batch cadence rather than a fixed 1 s
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean match {
+    case b: com.sun.management.OperatingSystemMXBean => Some(b)
+    case _ => None
+  }
+  private var lastCpuNs = -1L
+  private var lastWallNs = -1L
+
+  private def resourceSample(): (Long, Long) = {
+    val mem = Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+    val cpu = osBean.fold(-1L) { b =>
+      val nowNs = System.nanoTime()
+      val cpuNs = b.getProcessCpuTime // cumulative, -1 if unsupported
+      val mc =
+        if (cpuNs < 0 || lastCpuNs < 0 || nowNs <= lastWallNs) -1L
+        else (cpuNs - lastCpuNs) * 1000L / (nowNs - lastWallNs)
+      if (cpuNs >= 0) { lastCpuNs = cpuNs; lastWallNs = nowNs }
+      mc
+    }
+    (cpu, mem)
+  }
 
   override def onQueryStarted(
       e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -60,7 +92,9 @@ final class MetricsSampler(queryName: String, maxSamples: Int = 10000)
         if (p.processedRowsPerSecond.isNaN || p.processedRowsPerSecond.isInfinite) 0.0
         else p.processedRowsPerSecond
       synchronized {
-        buf += MetricsSample(p.batchId, ts, p.numInputRows, rate, lag)
+        val (cpu, mem) = resourceSample()
+        buf += MetricsSample(p.batchId, ts, p.numInputRows, rate, lag,
+          cpu, mem)
         if (buf.size > maxSamples) { buf.removeHead(); () }
       }
     }

@@ -116,6 +116,39 @@ object Pipeline {
     *   count. Without this, growing the cluster N→4N either leaves the
     *   merge under-partitioned or is impossible without a new checkpoint.
     */
+  /** Inline lake maintenance on the commit thread (the COW analog of the
+    * reference normalizer's DELETE-after-processing cleanup loop,
+    * src/connectors/sinks/postgres/normalizer.rs:169-216): every
+    * `everyBatches` micro-batches, one bucket-selective compaction pass
+    * (bounded by `maxBucketsPerPass`, resumable — the next pass walks the
+    * remaining dirty buckets) plus a vacuum of superseded snapshot metas
+    * and unreferenced files. Tombstones at or below the stream's applied
+    * endLsn are dropped: safe because (a) the `lsn > endLsn` replay guard
+    * means no stream event at or below it can ever re-apply, and (b)
+    * backfill chunks re-read the CURRENT source state, which no longer
+    * contains deleted keys — neither path can resurrect a compacted
+    * delete. Runs on the foreachBatch thread, so it serializes with
+    * commits and the lake's single-writer rule holds by construction (a
+    * long-lived daemon never needs an external maintenance job racing it).
+    */
+  case class Maintenance(
+      everyBatches: Int = 16,
+      fileThreshold: Int = 4,
+      maxBucketsPerPass: Int = 64,
+      keepVersions: Int = 2,
+      vacuumGraceMs: Long = 86400000L) {
+    require(everyBatches > 0, "everyBatches must be positive")
+  }
+
+  private def maintain(ss: SparkSession, lake: LakeTable, batchId: Long,
+      m: Maintenance): Unit =
+    if (batchId > 0 && batchId % m.everyBatches == 0) {
+      val snap = lake.snapshot()
+      lake.compact(ss, snap.endLsn, m.fileThreshold, m.maxBucketsPerPass)
+      lake.vacuum(m.keepVersions, m.vacuumGraceMs)
+      ()
+    }
+
   def start(
       spark: SparkSession,
       binlogDir: String,
@@ -132,7 +165,8 @@ object Pipeline {
       // consulted before each interleaved backfill step: false pauses the
       // snapshot while the CDC stream keeps flowing (reference
       // snapshot_pause, handlers.rs:233-245)
-      backfillGate: () => Boolean = () => true): StreamingQuery = {
+      backfillGate: () => Boolean = () => true,
+      maintenance: Option[Maintenance] = None): StreamingQuery = {
     val src0 = spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -155,6 +189,7 @@ object Pipeline {
           while (n < chunksPerBatch && backfillGate() &&
             Backfill.step(ss, lake, src)) n += 1
         }
+        maintenance.foreach(maintain(ss, lake, batchId + idOff, _))
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow()
@@ -251,13 +286,15 @@ object Pipeline {
       applyShufflePartitions: Option[Int] = None,
       watermarkDelay: String = "10 minutes",
       dedupImpl: String = "interval",
-      backfillGate: () => Boolean = () => true): Unit = {
+      backfillGate: () => Boolean = () => true,
+      maintenance: Option[Maintenance] = None): Unit = {
     val q = start(spark, binlogDir, lake, checkpointDir, maxFilesPerTrigger,
       availableNow = true, transportDedup = transportDedup,
       watermarkDelay = watermarkDelay,
       chunkSource = chunkSource, chunksPerBatch = chunksPerBatch,
       applyShufflePartitions = applyShufflePartitions,
-      dedupImpl = dedupImpl, backfillGate = backfillGate)
+      dedupImpl = dedupImpl, backfillGate = backfillGate,
+      maintenance = maintenance)
     q.awaitTermination()
     chunkSource.foreach { src =>
       while (backfillGate() && Backfill.step(spark, lake, src)) ()

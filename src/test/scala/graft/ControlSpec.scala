@@ -138,6 +138,12 @@ class ControlSpec extends SparkSpec {
       val st = ctl.status()
       assert(st.eventsPerSec >= 0 && st.lagMs >= -1)
       assert(ctl.metricsDf.count() == samples.size)
+      // resource pair (reference metrics_sampler.rs:52-55): heap is always
+      // measurable; CPU millicores is -1 on the first sample (no interval
+      // yet) then a sane non-negative per-interval figure
+      assert(samples.forall(_.memoryBytes > 0))
+      assert(samples.tail.forall(s =>
+        s.cpuMillicores >= 0 && s.cpuMillicores <= 64000))
     } finally ctl.close()
   }
 
