@@ -226,7 +226,11 @@ object ScalingBench {
         Pipeline.runAvailable(spark, binlogDir, lake, s"$runDir/ckpt",
           maxFilesPerTrigger = fpt, transportDedup = dedup,
           applyShufflePartitions = Some(shuffle), watermarkDelay = wmDelay,
-          dedupImpl = dedupImpl)
+          dedupImpl = dedupImpl,
+          // --maintenance-every N: inline compact+vacuum on the commit
+          // thread, to price the maintenance tax at criterion scale
+          maintenance = opt.get("--maintenance-every").map(_.toInt)
+            .filter(_ > 0).map(n => Pipeline.Maintenance(everyBatches = n)))
     }
     val sec = (System.nanoTime() - t0) / 1e9
     // replay-equality check: row count AND an order-insensitive content hash
@@ -242,8 +246,12 @@ object ScalingBench {
       .head()
     val live = check.getLong(0)
     val contentHash = check.getString(1)
-    val perBatch = resultLake.snapshotVersions().sorted.flatMap(v =>
-      resultLake.readSnapshot(v).lineage.map(_.wallMs))
+    // batch walls from the append-only lineage table (start_lsn = -1 marks
+    // maintenance/compaction commits): survives vacuum's meta pruning,
+    // unlike decoding each snapshot meta
+    val perBatch = resultLake.lineageDf(spark)
+      .filter("start_lsn >= 0").orderBy("snapshot_version")
+      .select("wall_ms").collect().map(_.getLong(0)).toSeq
     // listener delivery is async: give the bus a moment to drain
     val deadline = System.currentTimeMillis() + 10000
     while (progressBuf.synchronized(progressBuf.size) < segments / fpt &&

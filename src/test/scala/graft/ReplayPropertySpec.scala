@@ -67,6 +67,38 @@ class ReplayPropertySpec extends SparkSpec {
     }
   }
 
+  test("random maintenance interleaving: compact/vacuum between batches, replays after == oracle") {
+    // the sharpest ordering: maintenance retires a batch's tombstones and
+    // prunes old versions, THEN the transport replays that very batch —
+    // the batch-id and `lsn > endLsn` guards must absorb it even though
+    // the tombstones it would re-delete against are physically gone
+    for (seed <- 11L to 16L) {
+      val rnd = new Random(seed * 131)
+      val events = randomLog(seed, 140)
+      val nb = 2 + rnd.nextInt(4)
+      val cuts = (Vector.fill(nb - 1)(rnd.nextInt(events.size)).sorted
+        :+ events.size)
+      val batches = (0 +: cuts).sliding(2).map { case Seq(a, b) =>
+        events.slice(a, b)
+      }.filter(_.nonEmpty).toVector
+      val lake = LakeTable(spark, tmpDir(s"maintprop$seed"))
+      lake.create(Schemas.transcript, 4)
+      var id = 0L
+      for (b <- batches) {
+        MergeApply.applyBatch(spark, lake, spark.createDataset(b).toDF(), id)
+        if (rnd.nextBoolean()) {
+          lake.compact(spark, lake.snapshot().endLsn, fileThreshold = 1)
+          lake.vacuum(keepVersions = 2, graceMs = 0L)
+        }
+        if (rnd.nextBoolean())
+          MergeApply.applyBatch(spark, lake, spark.createDataset(b).toDF(), id)
+        id += 1
+      }
+      assert(liveState(lake) == OracleFold.finalState(events),
+        s"seed=$seed batches=${batches.map(_.size)}")
+    }
+  }
+
   test("random ddl placement: add-gated column under random splits/replays == oracle") {
     import org.apache.spark.sql.types.StringType
     for (seed <- 1L to 6L) {
