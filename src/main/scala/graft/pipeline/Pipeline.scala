@@ -140,14 +140,18 @@ object Pipeline {
     require(everyBatches > 0, "everyBatches must be positive")
   }
 
+  private def maintainNow(ss: SparkSession, lake: LakeTable,
+      m: Maintenance): Unit = {
+    val snap = lake.snapshot()
+    lake.compact(ss, snap.endLsn, m.fileThreshold, m.maxBucketsPerPass)
+    lake.vacuum(m.keepVersions, m.vacuumGraceMs)
+    ()
+  }
+
   private def maintain(ss: SparkSession, lake: LakeTable, batchId: Long,
       m: Maintenance): Unit =
-    if (batchId > 0 && batchId % m.everyBatches == 0) {
-      val snap = lake.snapshot()
-      lake.compact(ss, snap.endLsn, m.fileThreshold, m.maxBucketsPerPass)
-      lake.vacuum(m.keepVersions, m.vacuumGraceMs)
-      ()
-    }
+    if (batchId > 0 && batchId % m.everyBatches == 0)
+      maintainNow(ss, lake, m)
 
   def start(
       spark: SparkSession,
@@ -250,7 +254,8 @@ object Pipeline {
       availableNow: Boolean = true,
       transportDedup: Boolean = true,
       watermarkDelay: String = "10 minutes",
-      dedupImpl: String = "interval"): StreamingQuery = {
+      dedupImpl: String = "interval",
+      maintenance: Option[Maintenance] = None): StreamingQuery = {
     val src0 = spark.readStream
       .schema(Schemas.changeEventMulti)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -258,11 +263,24 @@ object Pipeline {
     val src = dedupStage(src0, transportDedup, dedupImpl, watermarkDelay)
     val idOff = batchIdOffset(spark, checkpointDir,
       lakes.values.map(_.snapshot().batchId).foldLeft(-1L)(math.max))
+    val maintOrder = lakes.keys.toSeq.sorted
     src.writeStream
       .queryName("graft-cdc-multi")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         MultiApply.applyBatch(batch.sparkSession, lakes, batch, batchId + idOff)
+        // staggered maintenance: ONE lake per eligible batch, round-robin
+        // over the tracked tables, so the commit-thread tax stays
+        // O(one table) no matter how wide the fan-out — every lake still
+        // gets a pass every everyBatches × numTables batches
+        maintenance.foreach { m =>
+          val bid = batchId + idOff
+          if (bid > 0 && bid % m.everyBatches == 0 && maintOrder.nonEmpty) {
+            val name = maintOrder(
+              ((bid / m.everyBatches) % maintOrder.size).toInt)
+            maintainNow(batch.sparkSession, lakes(name), m)
+          }
+        }
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow()

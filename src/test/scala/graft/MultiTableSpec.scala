@@ -60,6 +60,40 @@ class MultiTableSpec extends SparkSpec {
     assert(lakes.forall { case (n, l) => liveState(l) == before(n) })
   }
 
+  test("staggered maintenance over multi-table lakes: equality + pruning, one table per pass") {
+    val cfg = GenConfig(seed = 37, numConvs = 40, eventsPerConv = 25,
+      pctUpdate = 0.3, pctDelete = 0.15)
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("multimaint")
+    val n = substring(col("conv_id"), 6, 8).cast("int")
+    val tagged = spark.createDataset(events).toDF()
+      .withColumn("table", when(n % 2 === 0, "a").otherwise("b"))
+    BinlogGen.writeSegments(spark, tagged, s"$work/binlog", 6)
+
+    def runInto(suffix: String, maint: Option[Pipeline.Maintenance]) = {
+      val lakes = Map(
+        "a" -> LakeTable(spark, s"$work/lake-a$suffix"),
+        "b" -> LakeTable(spark, s"$work/lake-b$suffix"))
+      lakes.values.foreach(_.create(Schemas.transcript, 4))
+      Pipeline.startMulti(spark, s"$work/binlog", lakes,
+        s"$work/ckpt$suffix", maxFilesPerTrigger = 2, maintenance = maint)
+        .awaitTermination()
+      lakes
+    }
+    val plain = runInto("P", None)
+    val kept = runInto("K", Some(Pipeline.Maintenance(everyBatches = 1,
+      fileThreshold = 1, keepVersions = 2, vacuumGraceMs = 0L)))
+
+    // routing + fold equality unchanged under maintenance
+    for ((name, lake) <- kept)
+      assert(liveState(lake) == liveState(plain(name)), s"table $name")
+    // the round-robin reached both lakes (3 batches, everyBatches=1 →
+    // passes at bids 1 and 2 land on different tables), so both pruned
+    for ((name, lake) <- kept)
+      assert(lake.snapshotVersions().size <
+        plain(name).snapshotVersions().size, s"table $name not pruned")
+  }
+
   test("8-table fan-out: concurrent per-table commits equal the oracle; failures propagate") {
     val cfg = GenConfig(seed = 37, numConvs = 64, eventsPerConv = 15)
     val events = BinlogGen.events(cfg)
