@@ -86,6 +86,8 @@ object PlanDump {
       CdcQueries.transcriptAssemble(spark, sfDir))
     dump("data_split (pure map, no exchange)")(
       DataOps.dataSplit(spark, sfDir))
+    dump("sim_knn_lsh (banded candidates + bounded per-vector window)")(
+      DataOps.knnLsh(spark, sfDir))
     spark.stop()
   }
 }

@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_embedding_neardup" -> (DataOps.embeddingNearDup(_, _)),
     "sim_dot_topk" -> (DataOps.dotTopK(_, _)),
     "sim_ann_ivf" -> (DataOps.annIvf(_, _)),
+    "sim_knn_lsh" -> (DataOps.knnLsh(_, _)),
     "text_langid" -> (DataOps.langId(_, _)),
     "text_tokens" -> (DataOps.textTokens(_, _)),
     "text_quality" -> (DataOps.textQuality(_, _)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "dedup_embedding_neardup" -> DataOps.embeddingNearDupSql,
     "sim_dot_topk" -> DataOps.dotTopKSql,
     "sim_ann_ivf" -> DataOps.annIvfSql,
+    "sim_knn_lsh" -> DataOps.knnLshSql,
     "text_langid" -> DataOps.langIdSql,
     "text_tokens" -> DataOps.textTokensSql,
     "text_quality" -> DataOps.textQualitySql,

@@ -508,12 +508,14 @@ object DataOps {
     * to stay exact at any data scale (DuckDB widens to HUGEINT the same
     * way).
     */
-  /** PURE operator: near-dup pairs of an already-quantized vector table
-    * (vec_id: long, q: array<bigint> milli-units). Unlike round 2, the
-    * operator plants NOTHING — it is a function of its input table only;
-    * test-fixture row planting lives in [[embeddingNearDup]]'s data prep.
+  /** Banded sign-LSH candidate pairs of a quantized vector table
+    * (vec_id: long, q: array<bigint> milli-units), exactly scored:
+    * `(id_a < id_b, dot, na2, nb2)`. ONE exploded self-equi-join on
+    * (band_idx, band_value) — never O(n²) — shared by the near-dup
+    * threshold filter and the k-NN join. Returned persisted + leased
+    * (materialized before the band frame is released).
     */
-  def embeddingNearDupPairs(q: DataFrame): DataFrame = {
+  private def lshScoredCandidates(q: DataFrame): DataFrame = {
     val hcol = typedLit(hyperplanes)
     def bitDot(j: Int) =
       s"aggregate(zip_with(q, H[$j], (a, h) -> a * h), " +
@@ -540,17 +542,26 @@ object DataOps {
         "aggregate(transform(qa, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .withColumn("nb2", expr(
         "aggregate(transform(qb, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select("id_a", "id_b", "dot", "na2", "nb2")
+      .persist()
+    out.count() // materialize while `bands` is still cached
+    bands.unpersist()
+    lease(out)
+  }
+
+  /** PURE operator: near-dup pairs of an already-quantized vector table.
+    * Unlike round 2, the operator plants NOTHING — it is a function of its
+    * input table only; test-fixture row planting lives in
+    * [[embeddingNearDup]]'s data prep.
+    */
+  def embeddingNearDupPairs(q: DataFrame): DataFrame =
+    lshScoredCandidates(q)
       // cosine² ≥ 0.8² without any float sqrt: dot² · 10⁴ ≥ 6400 · na² · nb²
       .filter(col("dot") > 0 && expr(
         "CAST(dot AS DECIMAL(38,0)) * dot * 10000 >= " +
           "CAST(6400 AS DECIMAL(38,0)) * na2 * nb2"))
       .select("id_a", "id_b", "dot")
       .orderBy("id_a", "id_b")
-      .persist()
-    out.count() // materialize while `bands` is still cached
-    bands.unpersist()
-    lease(out)
-  }
 
   /** Driver query = fixture prep + the pure operator. The synthetic corpus
     * has no true near-dups (max organic cosine ≈ 0.51), so the FIXTURE
@@ -569,22 +580,13 @@ object DataOps {
     embeddingNearDupPairs(q0.unionByName(planted))
   }
 
-  /** Same construction in DuckDB: the hyperplane matrix regenerates from
-    * md5 parity, candidates from the banded self-join, verification in
-    * HUGEINT (exact, like Spark's DECIMAL(38,0)).
+  /** Shared DuckDB CTE chain over a caller-supplied `ev` (vec_id, i, ex):
+    * hyperplane matrix from md5 parity → band values → banded candidate
+    * pairs → exact dots + norms — the oracle mirror of
+    * [[lshScoredCandidates]].
     */
-  val embeddingNearDupSql: String =
-    """WITH ev0 AS (
-      |  SELECT vec_id, i - 1 AS i,
-      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS ex
-      |  FROM (SELECT vec_id, embedding,
-      |          unnest(generate_series(1, len(embedding))) AS i
-      |        FROM embeddings)),
-      |ev AS (
-      |  SELECT * FROM ev0
-      |  UNION ALL
-      |  SELECT vec_id + 100000, i, ex + ((vec_id * 31 + i * 7) % 11) - 5
-      |  FROM ev0 WHERE vec_id % 10 = 0),
+  private def lshBandSql(evCtes: String): String =
+    s"""WITH $evCtes,
       |hyp AS (
       |  SELECT k, i,
       |    CASE WHEN (strpos('0123456789abcdef',
@@ -612,7 +614,27 @@ object DataOps {
       |  JOIN ev eb ON eb.vec_id = id_b AND eb.i = ea.i
       |  GROUP BY id_a, id_b),
       |nrm AS (SELECT vec_id, CAST(sum(ex * ex) AS BIGINT) AS n2
-      |        FROM ev GROUP BY vec_id)
+      |        FROM ev GROUP BY vec_id)""".stripMargin
+
+  private val quantizedEvSql: String =
+    """ev0 AS (
+      |  SELECT vec_id, i - 1 AS i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS ex
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings))""".stripMargin
+
+  /** Same construction in DuckDB: the hyperplane matrix regenerates from
+    * md5 parity, candidates from the banded self-join, verification in
+    * HUGEINT (exact, like Spark's DECIMAL(38,0)).
+    */
+  val embeddingNearDupSql: String =
+    lshBandSql(quantizedEvSql + """,
+      |ev AS (
+      |  SELECT * FROM ev0
+      |  UNION ALL
+      |  SELECT vec_id + 100000, i, ex + ((vec_id * 31 + i * 7) % 11) - 5
+      |  FROM ev0 WHERE vec_id % 10 = 0)""".stripMargin) + """
       |SELECT id_a, id_b, dot
       |FROM dots
       |JOIN nrm na ON na.vec_id = id_a
@@ -620,6 +642,43 @@ object DataOps {
       |WHERE dot > 0
       |  AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(6400 AS HUGEINT) * na.n2 * nb.n2
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** k-NN self-join (k = 5) over the banded-LSH candidate graph: each
+    * vector's top-k neighbors among its band-collision candidates, exact
+    * integer dot as the score. The production ANN-join shape: candidate
+    * generation is the ONE banded self-equi-join (never all-pairs), the
+    * per-vector top-k is a bounded window over candidates only. Vectors
+    * with no band collision have no neighbors and are absent — at corpus
+    * scale that is the LSH recall trade, tuned via bands × bits.
+    */
+  def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    releaseLeases()
+    val cands = lshScoredCandidates(
+      quantized(spark, sfDir).select(col("vec_id"), col("q")))
+    val sym = cands.select(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+      col("dot"))
+      .unionByName(cands.select(col("id_b").as("src_id"),
+        col("id_a").as("dst_id"), col("dot")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("dot").desc, col("dst_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("src_id", "rank")
+  }
+
+  val knnLshSql: String =
+    lshBandSql(quantizedEvSql + ",\n|ev AS (SELECT * FROM ev0)".stripMargin) + """,
+      |sym AS (
+      |  SELECT id_a AS src_id, id_b AS dst_id, dot FROM dots
+      |  UNION ALL
+      |  SELECT id_b AS src_id, id_a AS dst_id, dot FROM dots),
+      |rk AS (
+      |  SELECT src_id, dst_id, dot,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+      |      ORDER BY dot DESC, dst_id) AS INT) AS rank
+      |  FROM sym)
+      |SELECT src_id, dst_id, dot, rank FROM rk
+      |WHERE rank <= 5 ORDER BY src_id, rank""".stripMargin
 
   // ------------------------------------------------------ text analysis
 
