@@ -88,6 +88,8 @@ object PlanDump {
       DataOps.dataSplit(spark, sfDir))
     dump("sim_knn_lsh (banded candidates + bounded per-vector window)")(
       DataOps.knnLsh(spark, sfDir))
+    dump("corpus_curate (one scan, one fingerprint-window shuffle)")(
+      DataOps.corpusCurate(spark, sfDir))
     spark.stop()
   }
 }

@@ -55,6 +55,7 @@ object SparkEntry {
     "text_pii_scrub" -> (DataOps.piiScrub(_, _)),
     "corpus_stats" -> (DataOps.corpusStats(_, _)),
     "data_split" -> (DataOps.dataSplit(_, _)),
+    "corpus_curate" -> (DataOps.corpusCurate(_, _)),
     // --- general analytics (joins/aggs/windows on Catalyst built-ins) ---
     "q1_agg" -> (Analytics.q1Agg(_, _)),
     "q3_join" -> (Analytics.q3Join(_, _)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "text_pii_scrub" -> DataOps.piiScrubSql,
     "corpus_stats" -> DataOps.corpusStatsSql,
     "data_split" -> DataOps.dataSplitSql,
+    "corpus_curate" -> DataOps.corpusCurateSql,
     "q1_agg" -> Analytics.q1AggSql,
     "q3_join" -> Analytics.q3JoinSql,
     "q_window" -> Analytics.userWindowSql)

@@ -690,23 +690,31 @@ object DataOps {
   /** Language-ID by stopword-marker frequency (n-gram heuristic). The
     * argmax is a fixed-order CASE over greatest() — deterministic ties.
     */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Adds `s_en..s_fr` marker counts and the argmax `predicted_lang`
+    * column (fixed-order ties, `und` when no marker hits) — shared by
+    * [[langId]] and [[corpusCurate]].
+    */
+  private def withLangScores(df: DataFrame): DataFrame = {
     val markers = Seq("en" -> " the ", "es" -> " el ", "de" -> " der ", "fr" -> " le ")
-    val scored = markers.foldLeft(docs(spark, sfDir)) { case (df, (l, m)) =>
-      df.withColumn(s"s_$l",
+    val scored = markers.foldLeft(df) { case (d, (l, m)) =>
+      d.withColumn(s"s_$l",
         ((length(concat(lit(" "), col("text"), lit(" "))) -
           length(regexp_replace(concat(lit(" "), col("text"), lit(" ")),
             java.util.regex.Pattern.quote(m), ""))) / m.length).cast("long"))
     }
     val g = greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
-    scored.select(
-      col("doc_id"), col("lang").as("labeled_lang"),
-      col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+    scored.withColumn("predicted_lang",
       when(g === 0, "und")
         .when(col("s_en") === g, "en").when(col("s_es") === g, "es")
-        .when(col("s_de") === g, "de").otherwise("fr").as("predicted_lang"))
-      .orderBy("doc_id")
+        .when(col("s_de") === g, "de").otherwise("fr"))
   }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    withLangScores(docs(spark, sfDir)).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+      col("predicted_lang"))
+      .orderBy("doc_id")
 
   val langIdSql: String =
     """WITH s AS (
@@ -967,5 +975,82 @@ object DataOps {
        |  CASE WHEN bucket < 90 THEN 'train'
        |    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
        |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** The end-to-end curation query — what a training-data user actually
+    * runs: language gate (argmax marker score ≠ und) ∧ quality gate
+    * (length/word thresholds) ∧ exact-dedup keep-one (min doc_id per
+    * content fingerprint), with the surviving corpus stamped with its
+    * train/val/test split. ONE plan: the only shuffle is the fingerprint
+    * window (high-cardinality md5 key); everything else is codegen'd maps
+    * over one scan — the composite stays 100 TB-shaped because each gate
+    * is. Emits kept rows plus per-doc gate flags for dropped ones (a
+    * curation run must account for what it dropped, not just keep the
+    * survivors).
+    */
+  def corpusCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = withLangScores(docs(spark, sfDir))
+      .withColumn("t", trim(col("text")))
+      .withColumn("chars", length(col("t")).cast("long"))
+      .withColumn("spaces",
+        (length(col("t")) - length(regexp_replace(col("t"), " ", ""))).cast("long"))
+      .withColumn("words", col("spaces") + 1)
+      .withColumn("passes_quality",
+        col("chars").between(100, 4000) && col("words") >= 20)
+      .withColumn("fp", md5(lower(col("t"))))
+      .withColumn("is_keeper",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp"))
+          === col("doc_id"))
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100)
+    d.select(
+      col("doc_id"), col("predicted_lang"), col("words"),
+      col("passes_quality"), col("is_keeper"),
+      (col("passes_quality") && col("is_keeper") &&
+        col("predicted_lang") =!= "und").as("kept"),
+      when(col("passes_quality") && col("is_keeper") &&
+        col("predicted_lang") =!= "und",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+        .as("split"))
+      .orderBy("doc_id")
+  }
+
+  val corpusCurateSql: String = {
+    val h4 = (0 until 4).map { p =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${p + 1}, 1)) - 1)" +
+        s" * ${math.pow(16, 3 - p).toLong}"
+    }.mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT doc_id, trim(text) AS t,
+       |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5 AS s_en,
+       |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) // 4 AS s_es,
+       |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) // 5 AS s_de,
+       |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' le ', ''))) // 4 AS s_fr,
+       |    CAST(($h4) % 100 AS BIGINT) AS bucket
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, bucket,
+       |    CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+       |      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+       |      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+       |      WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+       |      ELSE 'fr' END AS predicted_lang,
+       |    length(t) AS chars,
+       |    length(t) - length(replace(t, ' ', '')) + 1 AS words,
+       |    (length(t) BETWEEN 100 AND 4000
+       |      AND length(t) - length(replace(t, ' ', '')) + 1 >= 20) AS passes_quality,
+       |    min(doc_id) OVER (PARTITION BY md5(lower(t))) = doc_id AS is_keeper
+       |  FROM s)
+       |SELECT doc_id, predicted_lang, CAST(words AS BIGINT) AS words,
+       |  passes_quality, is_keeper,
+       |  (passes_quality AND is_keeper AND predicted_lang <> 'und') AS kept,
+       |  CASE WHEN passes_quality AND is_keeper AND predicted_lang <> 'und'
+       |    THEN CASE WHEN bucket < 90 THEN 'train'
+       |      WHEN bucket < 95 THEN 'val' ELSE 'test' END
+       |    ELSE NULL END AS split
+       |FROM q ORDER BY doc_id""".stripMargin
   }
 }

@@ -178,6 +178,30 @@ class DataOpsSpec extends SparkSpec {
     assert(got.values.map(_._5.count(_ == '\n') + 1).sum == live.length)
   }
 
+  test("corpus curation agrees with its component gates") {
+    val cur = DataOps.corpusCurate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), Option(r.getString(6)))).toMap
+    val lang = DataOps.langId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("predicted_lang")).toMap
+    val qual = DataOps.textQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("passes_quality")).toMap
+    val keepers = DataOps.dedupExact(spark, sf).collect()
+      .map(_.getAs[Long]("keeper_id")).toSet
+    val split = DataOps.dataSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(cur.keySet == lang.keySet)
+    for ((id, (pl, _, pq, keep, kept, sp)) <- cur) {
+      assert(pl == lang(id), s"doc $id lang")
+      assert(pq == qual(id), s"doc $id quality")
+      assert(keep == keepers.contains(id), s"doc $id keeper")
+      assert(kept == (pq && keep && pl != "und"), s"doc $id kept")
+      assert(sp == (if (kept) Some(split(id)) else None), s"doc $id split")
+    }
+    // the gates actually bite on this corpus: some docs dropped, some kept
+    assert(cur.values.exists(_._5) && cur.values.exists(!_._5))
+  }
+
   test("pii scrub redacts exactly the planted addresses") {
     val got = DataOps.piiScrub(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
