@@ -145,7 +145,11 @@ object CdcRunner {
       val ctl = new graft.control.Control(spark, binlogDir, lake, ckptDir,
         maxFilesPerTrigger = fpt, dedupImpl = dedupImpl,
         maintenance = maintenance)
-      val http = httpPort.map(p => new graft.control.HttpControl(ctl, p).start())
+      // --http-bind widens past the loopback default (unauthenticated
+      // verbs: widening is an explicit operator decision)
+      val httpBind = opt.getOrElse("--http-bind", "127.0.0.1")
+      val http = httpPort.map(p =>
+        new graft.control.HttpControl(ctl, p, httpBind).start())
       http.foreach(h => println(s"[cdc] control listening on :${h.boundPort}"))
       ctl.resume()
       Thread.sleep(daemonSecs.get * 1000L)

@@ -84,15 +84,18 @@ object MultiApply {
       } else {
         val gate = new java.util.concurrent.Semaphore(maxConcurrent)
         val futures = targets.map { t =>
+          // throttle at SUBMISSION, not inside the task: a wide table set
+          // (hundreds of targets) must not fan out one parked pool thread
+          // per target — with the permit held before submit, the shared
+          // cached pool never holds more than maxConcurrent threads
+          gate.acquire()
           pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = {
-              gate.acquire()
+            def call(): Unit =
               try {
                 MergeApply.applyBatch(spark, lakes(t),
                   cached.filter(col("table") === t).drop("table"), batchId)
                 ()
               } finally gate.release()
-            }
           })
         }
         // propagate the FIRST failure (unwrapped) — a failing table must

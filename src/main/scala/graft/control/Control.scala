@@ -118,12 +118,13 @@ final class Control(
     * [[resume]]).
     */
   def reload(newMaxFilesPerTrigger: Option[Int] = None): Unit = synchronized {
+    // validate BEFORE pausing: a bad knob must reject the reload, not
+    // leave a running engine silently stopped
+    newMaxFilesPerTrigger.foreach(n =>
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
     val wasRunning = isRunning
     pause()
-    newMaxFilesPerTrigger.foreach { n =>
-      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
-      filesPerTrigger = n
-    }
+    newMaxFilesPerTrigger.foreach(filesPerTrigger = _)
     if (wasRunning) resume()
   }
 

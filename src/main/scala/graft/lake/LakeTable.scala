@@ -71,7 +71,13 @@ case class Snapshot(
     // instead of rewriting the whole table — the COW analog of the
     // reference's O(processed-range) DELETE-after-normalize
     // (src/connectors/sinks/postgres/normalizer.rs:169-216).
-    bucketTombMinLsn: Map[Int, Long] = Map.empty) {
+    bucketTombMinLsn: Map[Int, Long] = Map.empty,
+    // false only for metas written before the tombstone index existed: an
+    // EMPTY bucketTombMinLsn is ambiguous there (no tombstones vs not
+    // indexed), so compaction must fall back to considering every
+    // file-bearing bucket once. New metas always carry the `btminv`
+    // marker, making the empty map trustworthy.
+    tombIndexed: Boolean = true) {
   def schema: StructType = schemas(schemaVersion)
   def rowCount: Long = bucketRowCounts.values.sum
 }
@@ -297,7 +303,12 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       backfillDone = backfillDone.getOrElse(base.backfillDone),
       bucketManifests = manifests,
       bucketTombMinLsn =
-        (base.bucketTombMinLsn -- touchedBuckets) ++ tombMinByBucket)
+        (base.bucketTombMinLsn -- touchedBuckets) ++ tombMinByBucket,
+      // a legacy (unindexed) table becomes indexed only once a commit has
+      // recomputed stats for EVERY file-bearing bucket (the upgrade
+      // compact pass); partial commits inherit the legacy status
+      tombIndexed = base.tombIndexed ||
+        (base.files.map(_.bucket).toSet -- touchedBuckets).isEmpty)
     writeSnapshot(next)
     next
   }
@@ -539,13 +550,24 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       maxBuckets: Int = Int.MaxValue): (Snapshot, Set[Int]) = {
     val snap = snapshot()
     val filesPerBucket = snap.files.groupBy(_.bucket).view.mapValues(_.size)
-    val tombDirty = snap.bucketTombMinLsn.collect {
-      case (b, minLsn) if minLsn <= horizonLsn => b
-    }.toSet
+    val tombDirty =
+      if (!snap.tombIndexed)
+        // legacy meta (pre-index): an empty map means "unknown", not
+        // "clean" — consider every file-bearing bucket once; the rewrite
+        // commits an indexed meta, so the next call is O(dirty) again
+        snap.files.map(_.bucket).toSet
+      else snap.bucketTombMinLsn.collect {
+        case (b, minLsn) if minLsn <= horizonLsn => b
+      }.toSet
     val fileDirty = filesPerBucket.collect {
       case (b, n) if n > fileThreshold => b
     }.toSet
-    val selected = (tombDirty ++ fileDirty).toSeq.sorted.take(maxBuckets).toSet
+    // legacy upgrade pass ignores maxBuckets: the rewritten meta carries
+    // the index marker, so a PARTIAL pass would wrongly certify the
+    // untouched buckets as indexed-and-clean
+    val selected =
+      if (!snap.tombIndexed) tombDirty ++ fileDirty
+      else (tombDirty ++ fileDirty).toSeq.sorted.take(maxBuckets).toSet
     if (selected.isEmpty) return (snap, Set.empty)
     val kept = readFiles(spark, snap, Some(selected))
       .filter(!(col("_op") === 2 && col("_lsn") <= horizonLsn))
@@ -640,22 +662,35 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     * fall back to the legacy snapshot-log derivation.
     */
   def lineageDf(spark: SparkSession): DataFrame = {
-    if (fs.exists(lineageDir))
-      // dropDuplicates: a crashed compactLineage can leave a row in both
-      // the combined file and a not-yet-deleted original — reads stay
-      // exact through every crash window
-      return spark.read.schema(lineageSchema).json(lineageDir.toString)
-        .dropDuplicates("snapshot_version")
-        .orderBy(col("snapshot_version"))
     import spark.implicits._
-    val rows = listVersions().sorted.map(readSnapshot).flatMap { s =>
-      s.lineage.map(l => (s.version, l.batchId, l.startLsn, l.endLsn,
-        l.inserted, l.updated, l.deleted, l.wallMs,
-        l.bucketRows.values.sum, s.schemaVersion, l.skippedEvolutions))
-    }
-    rows.toDF("snapshot_version", "batch_id", "start_lsn", "end_lsn",
-      "inserted", "updated", "deleted", "wall_ms", "rows_after",
-      "schema_version", "skipped_evolutions")
+    // legacy derivation: decode retained snapshot metas (tables written
+    // before the _lineage table existed, or versions below its floor)
+    def fromMetas(versions: Seq[Long]): DataFrame =
+      versions.sorted.map(readSnapshot).flatMap { s =>
+        s.lineage.map(l => (s.version, l.batchId, l.startLsn, l.endLsn,
+          l.inserted, l.updated, l.deleted, l.wallMs,
+          l.bucketRows.values.sum, s.schemaVersion, l.skippedEvolutions))
+      }.toDF("snapshot_version", "batch_id", "start_lsn", "end_lsn",
+        "inserted", "updated", "deleted", "wall_ms", "rows_after",
+        "schema_version", "skipped_evolutions")
+    if (!fs.exists(lineageDir)) return fromMetas(listVersions())
+    // dropDuplicates: a crashed compactLineage can leave a row in both
+    // the combined file and a not-yet-deleted original — reads stay
+    // exact through every crash window
+    val t = spark.read.schema(lineageSchema).json(lineageDir.toString)
+      .dropDuplicates("snapshot_version")
+    // upgrade path: commits made before the lineage table's first append
+    // exist only in their snapshot metas — merge the retained ones below
+    // the table's floor instead of silently truncating history (vacuumed
+    // metas stay gone, exactly as under the legacy derivation)
+    val floorRow = t.agg(min(col("snapshot_version"))).head()
+    val floor = if (floorRow.isNullAt(0)) Long.MaxValue else floorRow.getLong(0)
+    // v1 is always the lineage-less create commit: skipping it keeps the
+    // common case (lineage table born with the lake, floor = 2) at ZERO
+    // meta opens
+    val legacy = listVersions().filter(v => v < floor && v > 1L)
+    (if (legacy.isEmpty) t else t.unionByName(fromMetas(legacy)))
+      .orderBy(col("snapshot_version"))
   }
 
   /** Maintenance: coalesce per-commit lineage files into one combined
@@ -739,6 +774,9 @@ object SnapshotCodec {
     s.bucketManifests.toSeq.sorted.foreach { case (bk, rel) =>
       b ++= s"bmanifest=$bk|$rel\n"
     }
+    // marker only when the index is actually trustworthy: copies of a
+    // legacy snapshot (heartbeats, schema commits) must not self-certify
+    if (s.tombIndexed) b ++= "btminv=1\n"
     s.bucketTombMinLsn.toSeq.sorted.foreach { case (bk, l) =>
       b ++= s"btmin=$bk|$l\n"
     }
@@ -761,6 +799,7 @@ object SnapshotCodec {
     val brows = scala.collection.mutable.Map[Int, Long]()
     val bmanifests = scala.collection.mutable.Map[Int, String]()
     val btmin = scala.collection.mutable.Map[Int, Long]()
+    var btminMarker = false
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       val (k, v) = (line.substring(0, i), line.substring(i + 1))
@@ -789,6 +828,7 @@ object SnapshotCodec {
         case "bmanifest" =>
           val i2 = v.indexOf('|')
           bmanifests(v.substring(0, i2).toInt) = v.substring(i2 + 1)
+        case "btminv" => btminMarker = true
         case "btmin" =>
           val Array(bk, l) = v.split('|'); btmin(bk.toInt) = l.toLong
         case "file" =>
@@ -800,6 +840,9 @@ object SnapshotCodec {
     Snapshot(version, batchId, schemaVersion, endLsn, numBuckets,
       schemas.toMap, colAdd.toMap,
       lin.map(_.copy(bucketRows = bucketRows.toMap)), files.toSeq,
-      brows.toMap, backfillDone, bmanifests.toMap, btmin.toMap)
+      brows.toMap, backfillDone, bmanifests.toMap, btmin.toMap,
+      // btmin lines without the marker (pre-marker metas) are still an
+      // index; only marker-less AND empty means "unknown"
+      tombIndexed = btminMarker || btmin.nonEmpty)
   }
 }

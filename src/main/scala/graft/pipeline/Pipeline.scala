@@ -145,6 +145,9 @@ object Pipeline {
     val snap = lake.snapshot()
     lake.compact(ss, snap.endLsn, m.fileThreshold, m.maxBucketsPerPass)
     lake.vacuum(m.keepVersions, m.vacuumGraceMs)
+    // the per-commit lineage appends (one small json per batch) must not
+    // accumulate one file per commit forever — fold them here too
+    lake.compactLineage()
     ()
   }
 

@@ -260,6 +260,11 @@ object DataOps {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
+    // the checkpointed frame whose blocks back `labels` — superseded
+    // frames are unpersisted as soon as the next checkpoint materializes,
+    // so storage stays O(1) rounds, not O(rounds) (ContextCleaner would
+    // only reclaim them after a driver GC)
+    var live: DataFrame = labels
     val maxRounds = 25
     var round = 0
     var converged = false
@@ -285,6 +290,9 @@ object DataOps {
           least(col("l.cluster_id"),
             coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
         .localCheckpoint(true)
+      // stepped is materialized: the previous round's backing frame is
+      // no longer referenced by anything downstream
+      live.unpersist()
       val next = stepped.as("a")
         .join(stepped.select(col("doc_id").as("jd"), col("cluster_id").as("jc"))
           .as("b"), col("a.cluster_id") === col("jd"), "left")
@@ -294,14 +302,18 @@ object DataOps {
           (least(col("a.cluster_id"), coalesce(col("jc"), col("a.cluster_id")))
             < col("a.old_id")).cast("long").as("_chg"))
         .localCheckpoint(true)
+      stepped.unpersist() // next is materialized; stepped's blocks are dead
       val changed = Option(next.agg(sum("_chg")).first().get(0))
         .fold(0L)(_.asInstanceOf[Long])
       labels = next.select("doc_id", "cluster_id")
+      live = next
       converged = changed == 0
       round += 1
     }
     require(converged,
       s"connectedComponents: labels not stable after $maxRounds rounds")
+    edges.unpersist() // the returned labels read only the last checkpoint
+    lease(live)       // released once the caller's next leasing op runs
     labels
   }
 

@@ -305,11 +305,14 @@ final class RawAppendSink(
   @transient private lazy val tableLakeHandles =
     new java.util.concurrent.ConcurrentHashMap[String, LakeTable]()
 
+  // table names become path components: refuse anything that could
+  // escape the sink root (data-driven directory traversal)
+  private def isSafeTableName(t: String): Boolean =
+    t != null && t.nonEmpty && t.matches("[A-Za-z0-9_.\\-]+") &&
+      t != "." && t != ".."
+
   private def tableLakeHandle(t: String): LakeTable = {
-    // table names become path components: refuse anything that could
-    // escape the sink root (data-driven directory traversal)
-    require(t.nonEmpty && t.matches("[A-Za-z0-9_.\\-]+") &&
-      t != "." && t != "..", s"unsafe destination table name '$t'")
+    require(isSafeTableName(t), s"unsafe destination table name '$t'")
     tableLakeHandles.computeIfAbsent(t,
       t => new LakeTable(new Path(tablesDir, t).toString, hadoopConf))
   }
@@ -388,11 +391,18 @@ final class RawAppendSink(
       val df = spark.read.schema(stagedSchema).parquet(srcs: _*)
         .select((Schemas.changeEvent.fieldNames.toSeq :+ "table").map(col): _*)
       // destination tables present in the pending range get their lakes
-      // created up front; MultiApply then routes per table (anything with
-      // a NULL/unsafe table is surfaced by its untracked-drop warning)
+      // created up front; MultiApply then routes per table. An UNSAFE
+      // table name must be skipped with a warning, not thrown on —
+      // throwing here would poison normalization forever (the pending set
+      // never advances, every retry re-reads the same batch and dies);
+      // skipped names fall through to MultiApply's untracked-drop path.
       val present = df.filter(col("table").isNotNull)
         .select(collect_set(col("table"))).head().getSeq[String](0)
-      present.foreach { t =>
+      present.filterNot(isSafeTableName).foreach(t =>
+        System.err.println(
+          s"[sink] skipping unsafe destination table name '$t'" +
+            " (rows drop as untracked)"))
+      present.filter(isSafeTableName).foreach { t =>
         val lk = tableLakeHandle(t)
         if (lk.snapshotVersions().isEmpty) lk.create(schema, numBuckets)
       }

@@ -83,8 +83,13 @@ class HttpControlSpec extends SparkSpec {
       // reload of a RUNNING engine restarts it against the same checkpoint
       val (c4, s4) = post(port, "/reload?maxFilesPerTrigger=2")
       assert(c4 == 200 && s4.contains("\"running\":true"))
+      // a bad knob value on a RUNNING engine is a loud 500 AND leaves the
+      // engine running (validation precedes the pause — a rejected reload
+      // must not silently stop the stream)
+      assert(post(port, "/reload?maxFilesPerTrigger=0")._1 == 500)
+      assert(get(port, "/status")._2.contains("\"running\":true"))
       assert(post(port, "/pause")._2.contains("\"running\":false"))
-      // a bad knob value is a loud 500
+      // same rejection when paused
       assert(post(port, "/reload?maxFilesPerTrigger=0")._1 == 500)
 
       // liveness probe: GET-able, reflects running state, never touches

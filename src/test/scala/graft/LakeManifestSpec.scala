@@ -176,6 +176,45 @@ class LakeManifestSpec extends SparkSpec {
     assert(sel3.isEmpty && snap3.version == vBefore)
   }
 
+  test("legacy meta without the tombstone index upgrades via one full compact pass") {
+    val lake = LakeTable(spark, tmpDir("mflegacy"))
+    lake.create(Schemas.transcript, 4)
+    MergeApply.applyBatch(spark, lake, spark.createDataset((0 until 40).map(
+      i => ev(2L * i + 2, Op.Insert, f"conv_$i%04d", 0, text = s"t$i"))).toDF(), 0L)
+    MergeApply.applyBatch(spark, lake, spark.createDataset(
+      Seq(ev(1001, Op.Delete, "conv_0000", 0))).toDF(), 1L)
+    // simulate a pre-index meta: strip the btminv marker + btmin lines
+    // from the newest meta file
+    val fs = fsOf(lake)
+    val newest = lake.snapshotVersions().max
+    val metaPath = new Path(lake.root,
+      f"_log/v$newest%012d.meta")
+    val stripped = scala.io.Source.fromInputStream(fs.open(metaPath))
+      .getLines().filterNot(l =>
+        l.startsWith("btminv=") || l.startsWith("btmin=")).mkString("\n") + "\n"
+    val o = fs.create(metaPath, true)
+    try o.write(stripped.getBytes("UTF-8")) finally o.close()
+
+    val legacy = LakeTable(spark, lake.root) // fresh handle: no meta cache
+    assert(!legacy.snapshot().tombIndexed)
+    val live = liveState(legacy)
+    // a heartbeat copy of a legacy snapshot must NOT self-certify
+    legacy.commitEmpty(legacy.snapshot(), batchId = 99L)
+    assert(!LakeTable(spark, lake.root).snapshot().tombIndexed)
+    // the upgrade pass ignores maxBuckets (a partial pass would wrongly
+    // certify untouched buckets) and retires the hidden tombstone
+    val fresh = LakeTable(spark, lake.root)
+    val (snapUp, sel) = fresh.compactIncremental(spark, horizonLsn = 2000,
+      maxBuckets = 1)
+    assert(sel.size > 1, "upgrade pass must cover every file-bearing bucket")
+    assert(snapUp.tombIndexed && snapUp.bucketTombMinLsn.isEmpty)
+    assert(fresh.read(spark, includeTombstones = true)
+      .filter("_op = 2").count() == 0)
+    assert(liveState(fresh) == live)
+    // subsequent calls trust the index again: clean table -> no-op
+    assert(fresh.compactIncremental(spark, horizonLsn = 2000)._2.isEmpty)
+  }
+
   test("vacuum sweeps superseded manifests, never referenced ones") {
     val lake = LakeTable(spark, tmpDir("mfvac"))
     lake.create(Schemas.transcript, 4)

@@ -196,6 +196,34 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("an unsafe destination table name is skipped, not fatal to normalization") {
+    import org.apache.spark.sql.functions.{col, substring, when, lit}
+    // a traversal-shaped table name must not poison the fold forever
+    // (throwing would leave the pending set unchanged, so every retry
+    // would re-read the same batch and die again)
+    val cfg = GenConfig(seed = 91, numConvs = 12, eventsPerConv = 10)
+    val events = BinlogGen.events(cfg)
+    val n = substring(col("conv_id"), 6, 8).cast("int")
+    val work = tmpDir("sinkunsafe")
+    val raw = new RawAppendSink(s"$work/raw",
+      spark.sparkContext.hadoopConfiguration)
+    raw.applyBatch(spark, spark.createDataset(events.toVector).toDF()
+      .withColumn("table",
+        when(n % 3 === 0, lit("../evil")).otherwise(lit("good"))), 0L)
+    val out = raw.normalizeIncremental(spark)
+    assert(out.select("table").distinct().as[String].collect().toSet
+      == Set("good"))
+    val want = payloadOf(OracleFold.finalState(events.filter(e =>
+      e.conv_id != null && e.conv_id.stripPrefix("conv_").toInt % 3 != 0)))
+    assert(payload(out.drop("table")) == want)
+    // nothing escaped the sink root
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/evil")))
+    // idempotent: a second fold is a clean no-op, not a rethrow
+    assert(payload(raw.normalizeIncremental(spark).drop("table")) == want)
+  }
+
   test("compaction past the normalize watermark cannot lose events") {
     val cfg = GenConfig(seed = 101, numConvs = 20, eventsPerConv = 10)
     val events = BinlogGen.events(cfg)
