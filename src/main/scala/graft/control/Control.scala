@@ -31,7 +31,12 @@ case class ControlStatus(
     backfillTotal: Int = -1,
     // snapshot gate (reference snapshot_pause, handlers.rs:233-253):
     // true = backfill chunks held while the CDC stream keeps flowing
-    snapshotPaused: Boolean = false)
+    snapshotPaused: Boolean = false,
+    // reference state_str/stage_str (handlers.rs:314-331): state is the
+    // engine lifecycle (running/paused/draining), stage says whether a
+    // snapshot (backfill) is still interleaving with the cdc stream
+    state: String = "paused",
+    stage: String = "cdc")
 
 /** The engine control plane: pause / resume / drain / stop / status plus
   * the on-demand snapshot trigger — the Spark collapse of the reference's
@@ -137,17 +142,23 @@ final class Control(
     query = None
   }
 
+  // surfaced as status().state while drain() holds the control lock (the
+  // status endpoint stays lock-free, so it must read a flag, not the lock)
+  @volatile private var drainingFlag: Boolean = false
+
   /** Drain: process everything currently in the log, then stop — distinct
     * from [[pause]], which stops at the next batch boundary regardless of
     * backlog. Completes any pending backfill chunks too.
     */
   def drain(): Unit = synchronized {
     pause()
-    Pipeline.runAvailable(spark, binlogDir, lake, checkpointDir,
+    drainingFlag = true
+    try Pipeline.runAvailable(spark, binlogDir, lake, checkpointDir,
       filesPerTrigger, transportDedup, chunkSource,
       dedupImpl = dedupImpl,
       backfillGate = () => !snapshotPausedFlag,
       maintenance = maintenance)
+    finally drainingFlag = false
   }
 
   def stop(): Unit = pause()
@@ -201,7 +212,11 @@ final class Control(
       eventsPerSec = metrics.latest.map(_.eventsPerSec).getOrElse(-1.0),
       lagMs = metrics.latest.map(_.lagMs).getOrElse(-1L),
       backfillTotal = chunkSource.map(_.numChunks).getOrElse(-1),
-      snapshotPaused = snapshotPausedFlag)
+      snapshotPaused = snapshotPausedFlag,
+      state = if (drainingFlag) "draining"
+        else if (isRunning) "running" else "paused",
+      stage = if (chunkSource.exists(_.numChunks > snap.backfillDone))
+        "snapshot" else "cdc")
   }
 
   /** Detach the metrics listener (call when discarding this Control). */

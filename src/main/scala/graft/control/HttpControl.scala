@@ -90,7 +90,8 @@ final class HttpControl(ctl: Control, port: Int = 0,
       s""""rowCount":${s.rowCount},"lastBatchWallMs":${s.lastBatchWallMs},""" +
       s""""skippedEvolutions":${s.lastBatchSkippedEvolutions},""" +
       s""""eventsPerSec":${s.eventsPerSec},"lagMs":${s.lagMs},""" +
-      s""""snapshotPaused":${s.snapshotPaused}}"""
+      s""""snapshotPaused":${s.snapshotPaused},""" +
+      s""""state":"${s.state}","stage":"${s.stage}"}"""
   }
 
   /** Parse a query string into key→value (simple knob names/values only —

@@ -98,9 +98,12 @@ class HttpControlSpec extends SparkSpec {
       assert(ch == 200 && sh.contains("\"status\":\"ok\"") &&
         sh.contains("\"running\":false"))
 
-      // stop verb (reference stop): halts the query like pause
-      assert(post(port, "/resume")._2.contains("\"running\":true"))
-      assert(post(port, "/stop")._2.contains("\"running\":false"))
+      // stop verb (reference stop): halts the query like pause; the
+      // reference state string tracks the lifecycle
+      val s5 = post(port, "/resume")._2
+      assert(s5.contains("\"running\":true") && s5.contains("\"state\":\"running\""))
+      val s6 = post(port, "/stop")._2
+      assert(s6.contains("\"running\":false") && s6.contains("\"state\":\"paused\""))
     } finally {
       http.stop()
       ctl.close()
@@ -129,8 +132,12 @@ class HttpControlSpec extends SparkSpec {
     val http = new HttpControl(ctl).start()
     try {
       val port = http.boundPort
-      assert(get(port, "/status")._2.contains(
+      val st0 = get(port, "/status")._2
+      assert(st0.contains(
         """"backfill":{"done":0,"total":2,"complete":false}"""))
+      // pending chunks -> the engine is in the snapshot stage (reference
+      // stage_str)
+      assert(st0.contains("\"stage\":\"snapshot\""))
       post(port, "/drain")
       assert(get(port, "/status")._2.contains(
         """"backfill":{"done":2,"total":2,"complete":true}"""))
@@ -150,8 +157,10 @@ class HttpControlSpec extends SparkSpec {
       assert(post(port, "/snapshot/resume")._2.contains(
         "\"snapshotPaused\":false"))
       post(port, "/drain")
-      assert(get(port, "/status")._2.contains(
+      val stEnd = get(port, "/status")._2
+      assert(stEnd.contains(
         """"backfill":{"done":2,"total":2,"complete":true}"""))
+      assert(stEnd.contains("\"stage\":\"cdc\"")) // snapshot finished
     } finally {
       http.stop()
       ctl.close()
