@@ -124,6 +124,6 @@ object IntervalDedup {
           if (changed) state.update(BucketState(words))
           out.iterator
       }
-    deduped.toDF(schema.fieldNames: _*)
+    deduped.toDF(schema.fieldNames.toIndexedSeq: _*)
   }
 }

@@ -368,7 +368,7 @@ final class RawAppendSink(
     val srcs = compactedPending ++ pending.map(_._2.toString)
     if (srcs.nonEmpty) {
       val df = spark.read.schema(stagedSchema).parquet(srcs: _*)
-        .select(Schemas.changeEvent.fieldNames.map(col): _*)
+        .select(Schemas.changeEvent.fieldNames.toIndexedSeq.map(col): _*)
       // one fold over all pending batches (the reference's batch-range
       // coalescing, normalizer.rs:170-216); idempotent via batchId guard
       MergeApply.applyBatch(spark, lake, df,
