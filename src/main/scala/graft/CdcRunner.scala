@@ -76,6 +76,23 @@ object CdcRunner {
     val lakeDir = s"$work/lake"
     val ckptDir = s"$work/checkpoint"
 
+    // --rebase-checkpoint: the dedup-state retirement path (IntervalDedup
+    // scaladoc + the IntervalDedupSpec rebase test): drop ONLY the
+    // streaming checkpoint, keep the lake. Safe because redelivered
+    // pre-endLsn events die on the `lsn > endLsn` guard and the persisted
+    // batch-id offset keeps commit ids monotone across the fresh
+    // checkpoint — dedup state restarts empty instead of carrying every
+    // bucket bitmap forever. Refused when there is no lake position to
+    // guard replays with.
+    if (args.contains("--rebase-checkpoint")) {
+      val lakeExists = fs.exists(new org.apache.hadoop.fs.Path(lakeDir))
+      require(lakeExists, "--rebase-checkpoint needs an existing lake " +
+        "(nothing would guard replayed events)")
+      fs.delete(new org.apache.hadoop.fs.Path(ckptDir), true)
+      println("[cdc] checkpoint rebased: dedup state restarts empty; " +
+        "lake position guards replays")
+    }
+
     // add `tool` ~25% in; force odd parity (ddl lsns are odd by convention,
     // and 2*c*e/4+1 is only odd when (c*e)/2 is even)
     val quarterCut = 2L * convs * epc / 4
