@@ -90,6 +90,8 @@ object PlanDump {
       DataOps.knnLsh(spark, sfDir))
     dump("corpus_curate (one scan, one fingerprint-window shuffle)")(
       DataOps.corpusCurate(spark, sfDir))
+    dump("dedup_keep_best (one keeper window over the cluster subtree)")(
+      DataOps.dedupKeepBest(spark, sfDir))
     spark.stop()
   }
 }

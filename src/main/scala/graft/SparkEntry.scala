@@ -41,6 +41,7 @@ object SparkEntry {
     "dedup_minhash_lsh_pairs" -> (DataOps.minhashLshPairs(_, _)),
     "dedup_ngram_jaccard" -> (DataOps.ngramJaccard(_, _)),
     "dedup_cluster" -> (DataOps.dedupCluster(_, _)),
+    "dedup_keep_best" -> (DataOps.dedupKeepBest(_, _)),
     "dedup_simhash" -> (DataOps.simhash(_, _)),
     "dedup_embedding_neardup" -> (DataOps.embeddingNearDup(_, _)),
     "sim_dot_topk" -> (DataOps.dotTopK(_, _)),
@@ -85,6 +86,7 @@ object SparkEntry {
     "dedup_minhash_lsh_pairs" -> DataOps.minhashLshPairsSql,
     "dedup_ngram_jaccard" -> DataOps.ngramJaccardSql,
     "dedup_cluster" -> DataOps.dedupClusterSql,
+    "dedup_keep_best" -> DataOps.dedupKeepBestSql,
     "dedup_simhash" -> DataOps.simhashSql,
     "dedup_embedding_neardup" -> DataOps.embeddingNearDupSql,
     "sim_dot_topk" -> DataOps.dotTopKSql,

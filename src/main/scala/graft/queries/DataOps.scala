@@ -227,18 +227,49 @@ object DataOps {
     * follows the public MapReduce-CC literature (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14).
     */
-  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Every doc's near-dup cluster label (singletons label themselves):
+    * the verified-pair graph's connected components, left-joined back over
+    * the corpus — shared by [[dedupCluster]] and [[dedupKeepBest]].
+    * NOTE: runs ngramJaccard, which releases prior leases.
+    */
+  private def clusterAssignments(spark: SparkSession, sfDir: String): DataFrame = {
     val verified = ngramJaccard(spark, sfDir) // releases prior leases
       .filter(col("jaccard_bp") >= 8000)
       .select(col("doc_a"), col("doc_b"))
     val labels = connectedComponents(verified)
-    val assigned = docs(spark, sfDir).select(col("doc_id"))
+    docs(spark, sfDir).select(col("doc_id"), col("n_chars"))
       .join(labels.withColumnRenamed("cluster_id", "cid"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
-    val out = assigned
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+        col("n_chars"))
+  }
+
+  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = clusterAssignments(spark, sfDir)
+      .select("doc_id", "cluster_id")
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
       .orderBy("doc_id")
+      .persist()
+    out.count()
+    lease(out)
+  }
+
+  /** Keep-best dedup: within each near-dup cluster keep the HIGHEST-
+    * quality doc (longest content, doc_id as the deterministic tiebreak) —
+    * production dedup keeps best, not first. One window over the
+    * cluster-labeled corpus on top of the clustering subtree; emits one
+    * row per cluster with the keeper and what it beat.
+    */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val out = clusterAssignments(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"),
+        col("cluster_size"), col("n_chars").as("keeper_chars"))
+      .orderBy("cluster_id")
       .persist()
     out.count()
     lease(out)
@@ -321,8 +352,11 @@ object DataOps {
     * reachability closure (min over the reachable set of an undirected
     * graph = the component minimum). Exact-integer throughout.
     */
-  val dedupClusterSql: String =
-    "WITH RECURSIVE" + (ngramJaccardCoreSql + """,
+  /** Shared recursive-closure CTE chain ending in `lab(doc_id, cluster_id)`
+    * over every document — the oracle mirror of [[clusterAssignments]].
+    */
+  private lazy val clusterLabSql: String =
+    (ngramJaccardCoreSql + """,
       |edges AS (
       |  SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard_bp >= 8000
       |  UNION
@@ -331,10 +365,30 @@ object DataOps {
       |  SELECT doc_id AS src, doc_id AS dst FROM documents
       |  UNION
       |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst),
-      |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1)
+      |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1)""".stripMargin)
+      .stripPrefix("WITH")
+
+  val dedupClusterSql: String =
+    "WITH RECURSIVE" + clusterLabSql + """
       |SELECT doc_id, cluster_id,
       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-      |FROM lab ORDER BY doc_id""".stripMargin).stripPrefix("WITH")
+      |FROM lab ORDER BY doc_id""".stripMargin
+
+  val dedupKeepBestSql: String =
+    "WITH RECURSIVE" + clusterLabSql + """,
+      |asg AS (
+      |  SELECT l.doc_id, l.cluster_id, d.n_chars
+      |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+      |rk AS (
+      |  SELECT cluster_id, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |  FROM asg)
+      |SELECT cluster_id, doc_id AS keeper_id,
+      |  CAST(cluster_size AS BIGINT) AS cluster_size,
+      |  CAST(n_chars AS BIGINT) AS keeper_chars
+      |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   /** SimHash (60-bit, word unigrams): per-bit majority vote over md5-derived
     * word hashes. The bit algebra is integer-exact, so the DuckDB oracle

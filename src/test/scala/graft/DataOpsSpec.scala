@@ -178,6 +178,27 @@ class DataOpsSpec extends SparkSpec {
     assert(got.values.map(_._5.count(_ == '\n') + 1).sum == live.length)
   }
 
+  test("keep-best dedup picks the longest doc per cluster, id tiebreak") {
+    val clusters = DataOps.dedupCluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = clusters.groupBy(_._2._1).map { case (cid, members) =>
+      val ids = members.map(_._1)
+      val keeper = ids.minBy(id => (-chars(id), id))
+      cid -> (keeper, ids.length.toLong, chars(keeper))
+    }
+    val got = DataOps.dedupKeepBest(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+    // clusters actually merged something, so "best" differs from "first"
+    // somewhere in the fixture unless every cluster min is also longest —
+    // at minimum, the op returns one row per cluster
+    assert(got.size == clusters.map(_._2._1).distinct.length)
+  }
+
   test("corpus curation agrees with its component gates") {
     val cur = DataOps.corpusCurate(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3),
