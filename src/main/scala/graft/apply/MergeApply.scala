@@ -82,7 +82,18 @@ object MergeApply {
       batchTypes.get(f.name).fold(f)(dt => f.copy(dataType = dt))
     })
     var newColAdds = Map.empty[String, Long]
+    // Meta-format safety: a column name reaches the snapshot meta as a
+    // `coladd=<name>|<lsn>` line and inside line-oriented schema json — a
+    // name carrying '|' or a newline would COMMIT fine and then brick
+    // every later readSnapshot (MatchError in the decoder, table
+    // unreadable until hand-edited). Such ddl degrades to a counted skip
+    // (E5), exactly like an incompatible type change.
+    def metaSafeName(n: String): Boolean =
+      n != null && n.nonEmpty &&
+        !n.exists(c => c == '|' || c == '\n' || c == '\r')
+    var unsafeDdl = 0L
     for ((lsn, (kind, name, dt)) <- ddlRows) kind match {
+      case _ if !metaSafeName(name) => unsafeDdl += 1
       case "add" =>
         if (!incoming.fieldNames.contains(name))
           incoming = incoming.add(StructField(name, dt, nullable = true))
@@ -102,7 +113,8 @@ object MergeApply {
     val plan = Reconcile(declared, incoming)
     // E5 degraded mode: incompatible type changes keep the old type (the
     // data casts below null what can't convert) and are COUNTED, not fatal
-    val skippedEvo = plan.actions.count(_.isInstanceOf[graft.schema.RejectChange]).toLong
+    val skippedEvo = unsafeDdl +
+      plan.actions.count(_.isInstanceOf[graft.schema.RejectChange]).toLong
     val merged = StructType(plan.merged.fields ++
       tableSchema.fields.filter(f => audit.contains(f.name)))
     val payload = Schemas.payloadCols(merged)

@@ -636,6 +636,17 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
         }
       }
     }
+    // crashed-write leftovers in the metadata dirs (writeSnapshot and
+    // compactLineage tmp files orphaned between create and rename): same
+    // grace as data files, else a periodically-crashing daemon leaks one
+    // file per crash in exactly the dirs maintenance keeps flat
+    for (dir <- Seq(logDir, lineageDir) if fs.exists(dir);
+         t <- fs.listStatus(dir)
+         if t.getPath.getName.startsWith(".tmp-") &&
+           t.getModificationTime < cutoff) {
+      fs.delete(t.getPath, false)
+      files += 1
+    }
     val dropped = versions.dropRight(keepVersions)
     dropped.foreach(v => fs.delete(metaPath(v), false))
     (dropped.size, files)

@@ -90,32 +90,6 @@ object Pipeline {
       // only exists in hash mode)
       .observe("graft_event_time", max(col("ts")).as("max_ts"))
 
-  /** Start the CDC query over a binlog segment directory.
-    *
-    * @param maxFilesPerTrigger micro-batch admission control — the analog of
-    *   the reference's FLUSH_SIZE batching (src/pipeline/mod.rs:57-127,
-    *   default 10,000 rows / 5,000 ms).
-    * @param availableNow true = drain all available segments then stop
-    *   (tests/bench); false = continuous 5s trigger (the daemon shape).
-    * @param transportDedup enable the cross-batch stateful dedup stage
-    *   (`dropDuplicatesWithinWatermark` keyed by the source offset) — state
-    *   is GC'd by the event-time watermark, bounding it at 10^10-event scale.
-    * @param chunkSource when set, concurrent chunked backfill (reference T7):
-    *   after each micro-batch apply, up to `chunksPerBatch` pending snapshot
-    *   chunks are merged under the stream's current applied position as
-    *   their low watermark. Progress persists in the lake snapshot
-    *   (`backfillDone`), so a restart resumes at the next chunk.
-    * @param applyShufflePartitions when set, `spark.sql.shuffle.partitions`
-    *   is switched to this value INSIDE foreachBatch, before the apply plan
-    *   is built. This decouples the two partition-count decisions a real
-    *   deployment makes independently: the stateful dedup's state-store
-    *   partition count is locked into the checkpoint at query start (Spark
-    *   records it in the offset log; it cannot follow cluster resizes), so
-    *   it is sized once for the query's lifetime from the session conf —
-    *   while the per-batch MERGE jobs should track the CURRENT executor
-    *   count. Without this, growing the cluster N→4N either leaves the
-    *   merge under-partitioned or is impossible without a new checkpoint.
-    */
   /** Inline lake maintenance on the commit thread (the COW analog of the
     * reference normalizer's DELETE-after-processing cleanup loop,
     * src/connectors/sinks/postgres/normalizer.rs:169-216): every
@@ -156,6 +130,32 @@ object Pipeline {
     if (batchId > 0 && batchId % m.everyBatches == 0)
       maintainNow(ss, lake, m)
 
+  /** Start the CDC query over a binlog segment directory.
+    *
+    * @param maxFilesPerTrigger micro-batch admission control — the analog of
+    *   the reference's FLUSH_SIZE batching (src/pipeline/mod.rs:57-127,
+    *   default 10,000 rows / 5,000 ms).
+    * @param availableNow true = drain all available segments then stop
+    *   (tests/bench); false = continuous 5s trigger (the daemon shape).
+    * @param transportDedup enable the cross-batch stateful dedup stage
+    *   (`dropDuplicatesWithinWatermark` keyed by the source offset) — state
+    *   is GC'd by the event-time watermark, bounding it at 10^10-event scale.
+    * @param chunkSource when set, concurrent chunked backfill (reference T7):
+    *   after each micro-batch apply, up to `chunksPerBatch` pending snapshot
+    *   chunks are merged under the stream's current applied position as
+    *   their low watermark. Progress persists in the lake snapshot
+    *   (`backfillDone`), so a restart resumes at the next chunk.
+    * @param applyShufflePartitions when set, `spark.sql.shuffle.partitions`
+    *   is switched to this value INSIDE foreachBatch, before the apply plan
+    *   is built. This decouples the two partition-count decisions a real
+    *   deployment makes independently: the stateful dedup's state-store
+    *   partition count is locked into the checkpoint at query start (Spark
+    *   records it in the offset log; it cannot follow cluster resizes), so
+    *   it is sized once for the query's lifetime from the session conf —
+    *   while the per-batch MERGE jobs should track the CURRENT executor
+    *   count. Without this, growing the cluster N→4N either leaves the
+    *   merge under-partitioned or is impossible without a new checkpoint.
+    */
   def start(
       spark: SparkSession,
       binlogDir: String,
@@ -258,7 +258,11 @@ object Pipeline {
       transportDedup: Boolean = true,
       watermarkDelay: String = "10 minutes",
       dedupImpl: String = "interval",
-      maintenance: Option[Maintenance] = None): StreamingQuery = {
+      maintenance: Option[Maintenance] = None,
+      // same decoupling as start(): the dedup state partition count is
+      // checkpoint-locked, the per-table MERGEs must track the CURRENT
+      // executor count across cluster resizes
+      applyShufflePartitions: Option[Int] = None): StreamingQuery = {
     val src0 = spark.readStream
       .schema(Schemas.changeEventMulti)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -271,6 +275,8 @@ object Pipeline {
       .queryName("graft-cdc-multi")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyShufflePartitions.foreach(n => batch.sparkSession.conf
+          .set("spark.sql.shuffle.partitions", n.toString))
         MultiApply.applyBatch(batch.sparkSession, lakes, batch, batchId + idOff)
         // staggered maintenance: ONE lake per eligible batch, round-robin
         // over the tracked tables, so the commit-thread tax stays

@@ -148,23 +148,38 @@ final class RawAppendSink(
     * Schemas.changeEvent would silently drop it, and compaction would
     * destroy it). Falls back to the base envelope for pre-existing logs.
     */
-  private[graft] def stagedSchema: StructType =
-    if (!fs.exists(schemaPath)) Schemas.changeEvent
+  // _schema.json is write-once (recordSchema), so the decoded value is
+  // cacheable for the handle's lifetime — only the pre-record DEFAULT must
+  // not be frozen (the file may appear after the first applyBatch). Same
+  // cost class as compactedUpToCache: several fs.exists+open round-trips
+  // per fold/read otherwise.
+  @transient @volatile private var stagedSchemaCache: StructType = null
+
+  private[graft] def stagedSchema: StructType = {
+    val c = stagedSchemaCache
+    if (c != null) c
+    else if (!fs.exists(schemaPath)) Schemas.changeEvent // don't cache
     else {
       val in = fs.open(schemaPath)
       val json =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      org.apache.spark.sql.types.DataType.fromJson(json)
+      val parsed = org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[StructType]
+      stagedSchemaCache = parsed
+      parsed
     }
+  }
 
   private def recordSchema(schema: StructType): Unit =
     if (!fs.exists(schemaPath)) {
       val tmp = new Path(root, s".tmp-schema-${UUID.randomUUID().toString.take(8)}")
       val o = fs.create(tmp, true)
       try o.write(schema.json.getBytes("UTF-8")) finally o.close()
-      atomicFs.renameNoOverwrite(tmp, schemaPath)
+      // cache only on WIN: a lost no-overwrite race means someone else's
+      // schema is authoritative — the next stagedSchema read picks it up
+      if (atomicFs.renameNoOverwrite(tmp, schemaPath))
+        stagedSchemaCache = schema
       ()
     }
 
@@ -278,7 +293,13 @@ final class RawAppendSink(
       .collect()
       .map(r => r.getString(0).split(":", 3)(1) -> r.getLong(1))
       .toMap
-    val payload = Schemas.payloadCols(schema)
+    val base = Schemas.payloadCols(schema)
+    // ddl-ADDED columns live in the staged envelope physically (the raw
+    // log is faithful) but may be missing from the CONSTRUCTOR schema —
+    // include them so this full fold returns the same evolved columns as
+    // normalizeIncremental (whose lake evolves through MergeApply)
+    val payload = base ++ addLsn.keys.toSeq.sorted
+      .filterNot(base.contains).filter(raw.columns.contains)
     Dedup.lwwReduce(raw.filter(col("op") < Op.SchemaChange), payload, addLsn)
       .filter(col("op") =!= Op.Delete)
       .select((Schemas.keys ++ payload).map(col): _*)
@@ -317,11 +338,17 @@ final class RawAppendSink(
       t => new LakeTable(new Path(tablesDir, t).toString, hadoopConf))
   }
 
-  /** Per-table normalized lakes created so far (multi-table staging). */
+  /** Per-table normalized lakes created so far (multi-table staging).
+    * Dirs with NO committed snapshot are excluded: a crash inside a first
+    * `create` (log dir made, v1 meta never renamed) must not poison every
+    * later fold's watermark scan — the fold's own create step heals such
+    * a dir the next time its table has rows.
+    */
   def normalizedTableLakes(): Map[String, LakeTable] =
     if (!fs.exists(tablesDir)) Map.empty
     else fs.listStatus(tablesDir).toSeq.filter(_.isDirectory)
       .map(s => s.getPath.getName -> tableLakeHandle(s.getPath.getName))
+      .filter(_._2.snapshotVersions().nonEmpty)
       .toMap
 
   /** Highest batch id every normalized lake has folded (−1 = none): the
@@ -376,7 +403,7 @@ final class RawAppendSink(
     }
     val cols = Schemas.payloadCols(lake.snapshot().schema)
     lake.read(spark).select(
-      (Seq("conv_id", "turn_idx") ++ cols).map(col): _*)
+      (Schemas.keys ++ cols).map(col): _*)
   }
 
   private def normalizeIncrementalMulti(spark: SparkSession): DataFrame = {
@@ -406,8 +433,17 @@ final class RawAppendSink(
         val lk = tableLakeHandle(t)
         if (lk.snapshotVersions().isEmpty) lk.create(schema, numBuckets)
       }
-      MultiApply.applyBatch(spark, normalizedTableLakes(), df,
-        math.max(cUpTo, pending.map(_._1).foldLeft(-1L)(math.max)))
+      val bound = math.max(cUpTo, pending.map(_._1).foldLeft(-1L)(math.max))
+      MultiApply.applyBatch(spark, normalizedTableLakes(), df, bound)
+      // MultiApply advances only tables PRESENT in the folded range; a
+      // table quiet in this range would otherwise pin the MIN watermark
+      // forever (every later fold re-reads all batches, compaction never
+      // progresses). Advance the quiet lakes with an empty commit —
+      // idempotent on replay (batchId already at the bound).
+      for ((_, lk) <- normalizedTableLakes()) {
+        val snap = lk.snapshot()
+        if (snap.batchId < bound) lk.commitEmpty(snap, bound)
+      }
       ()
     }
     val lakes = normalizedTableLakes()
@@ -421,7 +457,7 @@ final class RawAppendSink(
     lakes.toSeq.sortBy(_._1).map { case (t, lk) =>
       val cols = Schemas.payloadCols(lk.snapshot().schema)
       lk.read(spark)
-        .select((Seq("conv_id", "turn_idx") ++ cols).map(col): _*)
+        .select((Schemas.keys ++ cols).map(col): _*)
         .withColumn("table", lit(t))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }

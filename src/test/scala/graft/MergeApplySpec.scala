@@ -286,4 +286,21 @@ class MergeApplySpec extends SparkSpec {
       Seq(ev(8, Op.Insert, "c3", 0, text = "c"))).toDF(), 5L)
     assert(liveState(lake).size == live.size + 1)
   }
+
+  test("a ddl column name unsafe for the meta format degrades to a counted skip") {
+    // 'a|b' would commit fine as `coladd=a|b|<lsn>` and then brick every
+    // subsequent readSnapshot (3-way split MatchError) — it must be
+    // rejected as a counted evolution skip, like an incompatible type
+    val lake = newLake(4)
+    val snap = MergeApply.applyBatch(spark, lake, spark.createDataset(Seq(
+      ev(2, Op.Insert, "c1", 0, text = "a"),
+      ev(3, Op.SchemaChange, null, 0, role = null,
+        ddl = "add:a|b:\"string\""))).toDF(), 0L)
+    assert(snap.lineage.exists(_.skippedEvolutions == 1L))
+    assert(!snap.schema.fieldNames.exists(_.contains("|")))
+    // the meta round-trips: a FRESH handle decodes the committed snapshot
+    val reread = LakeTable(spark, lake.root).snapshot()
+    assert(reread.version == snap.version)
+    assert(liveState(lake).map(_.conv_id) == Vector("c1"))
+  }
 }

@@ -63,6 +63,56 @@ class SinkSpec extends SparkSpec {
     assert(payload(mergeSink.read(spark)) == payloadOf(oracle))
   }
 
+  test("normalize with a narrower configured schema still emits ddl-added columns") {
+    // sink configured with transcriptNoTool; the stream's `add tool` ddl
+    // must surface tool in BOTH normalize paths (the full fold used to
+    // project to the constructor schema and silently drop it)
+    val cfg = GenConfig(seed = 67, numConvs = 30, eventsPerConv = 20,
+      pctUpdate = 0.3, addToolAtLsn = Some(2L * 30 * 20 / 4 + 1))
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("sinknarrow")
+    val raw = new RawAppendSink(s"$work/raw",
+      spark.sparkContext.hadoopConfiguration,
+      schema = graft.model.Schemas.transcriptNoTool, numBuckets = 4)
+    raw.applyBatch(spark, spark.createDataset(events.toVector).toDF(), 0L)
+    val oracle = payloadOf(OracleFold.finalState(events,
+      Map("tool" -> cfg.addToolAtLsn.get)))
+    assert(payload(raw.normalize(spark)) == oracle)
+    assert(payload(raw.normalizeIncremental(spark)) == oracle)
+  }
+
+  test("a quiet table cannot pin the multi-table normalize watermark") {
+    import org.apache.spark.sql.functions.{col, lit, substring, when}
+    val cfg = GenConfig(seed = 71, numConvs = 20, eventsPerConv = 12)
+    val events = BinlogGen.events(cfg)
+    val n = substring(col("conv_id"), 6, 8).cast("int")
+    val work = tmpDir("sinkquiet")
+    val raw = new RawAppendSink(s"$work/raw",
+      spark.sparkContext.hadoopConfiguration, numBuckets = 4)
+    // batch 0 carries both tables; batches 1..3 carry ONLY table a
+    val (h1, rest) = events.splitAt(events.size / 4)
+    raw.applyBatch(spark, spark.createDataset(h1.toVector).toDF()
+      .withColumn("table", when(n % 2 === 0, "a").otherwise("b")), 0L)
+    rest.grouped(rest.size / 3 + 1).zipWithIndex.foreach { case (g, i) =>
+      raw.applyBatch(spark, spark.createDataset(
+        g.filter(e => e.conv_id != null &&
+          e.conv_id.stripPrefix("conv_").toInt % 2 == 0).toVector).toDF()
+        .withColumn("table", lit("a")), i + 1L)
+    }
+    raw.normalizeIncremental(spark)
+    // the quiet table 'b' advanced via empty commits: the MIN watermark
+    // reaches the newest folded batch, so compaction can retire ALL dirs
+    assert(raw.normalizeWatermark() >= 3L,
+      s"watermark pinned at ${raw.normalizeWatermark()}")
+    assert(raw.compactRaw(spark) >= 4)
+    // and the fold output is still per-table correct
+    val got = raw.normalizeIncremental(spark)
+      .select("table", "conv_id").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.forall { case (t, c) =>
+      (c.stripPrefix("conv_").toInt % 2 == 0) == (t == "a") })
+  }
+
   test("raw-append replay is a no-op; crashed tmp dirs are invisible and reaped") {
     val work = tmpDir("sinkidem")
     val raw = new RawAppendSink(s"$work/raw",
