@@ -116,6 +116,19 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
   @transient private lazy val fs: FileSystem =
     new Path(root).getFileSystem(hadoopConf)
 
+  /** Test-only crash injection: when non-null, invoked at named points of
+    * the commit protocol (`after-write-data`, `after-write-manifests`,
+    * `before-meta-rename`, `after-meta-rename`,
+    * `before-vacuum-meta-deletes`); a test throws from it to simulate a
+    * kill at exactly that step (SURVEY §7.4's injected-failure testing).
+    * Production cost: one null check per point.
+    */
+  @transient @volatile private[graft] var failpoint: String => Unit = null
+  private def fp(name: String): Unit = {
+    val f = failpoint
+    if (f != null) f(name)
+  }
+
   private def logDir = new Path(root, "_log")
   private def dataDir = new Path(root, "data")
   private def manifestsDir = new Path(root, "_manifests")
@@ -276,6 +289,7 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
 
     val (newFiles, rowsByBucket, tombMinByBucket) = writeDataFiles(spark,
       newData, schema, base.numBuckets, touchedBuckets, sv, base.version + 1)
+    fp("after-write-data")
 
     val carried = base.files.filterNot(f => touchedBuckets.contains(f.bucket))
     // Manifest-list indirection: each touched bucket's file list goes to
@@ -284,6 +298,7 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     // O(touched buckets + numBuckets meta lines), independent of the
     // table's total file count.
     val newManifests = writeManifests(newFiles, base.version + 1)
+    fp("after-write-manifests")
     val manifests = (base.bucketManifests -- touchedBuckets) ++ newManifests
     // lineageFn reads the merge Observation's results — only valid after
     // the write action above materialized the plan.
@@ -473,12 +488,14 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     val o = fs.create(tmp, true)
     try o.write(SnapshotCodec.encode(snap).getBytes(StandardCharsets.UTF_8))
     finally o.close()
+    fp("before-meta-rename")
     val won =
       try atomicFs.renameNoOverwrite(tmp, target)
       catch { case e: Throwable => fs.delete(tmp, false); throw e }
     if (!won)
       throw new IllegalStateException(
         s"commit race: $target already exists")
+    fp("after-meta-rename")
     appendLineage(snap)
   }
 
@@ -492,6 +509,12 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     * sequential driver meta decodes, and makes lineage history survive
     * [[vacuum]] (the reference's metrics history outlives checkpoint GC,
     * src/control/metrics_sampler.rs:1-67).
+    *
+    * Written via the same tmp + no-overwrite-rename as every other
+    * metadata file: a direct create could crash mid-write and leave a
+    * truncated row that PERMISSIVE json reads as all-null and
+    * [[compactLineage]] splices onto its neighbor. A lost rename race
+    * means a retry already appended this version's row — idempotent.
     */
   private def appendLineage(snap: Snapshot): Unit =
     snap.lineage.foreach { l =>
@@ -504,8 +527,11 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
           s""""rows_after":${l.bucketRows.values.sum},""" +
           s""""schema_version":${snap.schemaVersion},""" +
           s""""skipped_evolutions":${l.skippedEvolutions}}\n"""
-      val o = fs.create(new Path(lineageDir, f"v${snap.version}%012d.json"), true)
+      val tmp = new Path(lineageDir, s".tmp-${UUID.randomUUID().toString.take(12)}")
+      val o = fs.create(tmp, true)
       try o.write(row.getBytes(StandardCharsets.UTF_8)) finally o.close()
+      atomicFs.renameNoOverwrite(tmp, new Path(lineageDir, f"v${snap.version}%012d.json"))
+      ()
     }
 
   /** Time travel: read the table as of an older committed version (the
@@ -647,6 +673,7 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       fs.delete(t.getPath, false)
       files += 1
     }
+    fp("before-vacuum-meta-deletes")
     val dropped = versions.dropRight(keepVersions)
     dropped.foreach(v => fs.delete(metaPath(v), false))
     (dropped.size, files)
@@ -688,7 +715,11 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     // dropDuplicates: a crashed compactLineage can leave a row in both
     // the combined file and a not-yet-deleted original — reads stay
     // exact through every crash window
+    // the isNotNull guard drops any all-null row a PERMISSIVE read makes
+    // of a corrupt/legacy-truncated file, so it can never shadow a real
+    // version inside dropDuplicates
     val t = spark.read.schema(lineageSchema).json(lineageDir.toString)
+      .filter(col("snapshot_version").isNotNull)
       .dropDuplicates("snapshot_version")
     // upgrade path: commits made before the lineage table's first append
     // exist only in their snapshot metas — merge the retained ones below
@@ -720,7 +751,13 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       .sortBy(_.getPath.getName)
     if (parts.size <= 1) return 0
     val combined = new StringBuilder
-    parts.foreach(p => combined ++= readTextFile(p.getPath))
+    parts.foreach { p =>
+      combined ++= readTextFile(p.getPath)
+      // a legacy-truncated part (pre-atomic-append crash) may lack its
+      // trailing newline: splice a separator so the NEXT part's first
+      // record doesn't concatenate onto the partial one
+      if (combined.nonEmpty && combined.last != '\n') combined += '\n'
+    }
     val name = s"c-${UUID.randomUUID().toString.take(12)}.json"
     val tmp = new Path(lineageDir, s".tmp-$name")
     val o = fs.create(tmp, true)
@@ -852,8 +889,11 @@ object SnapshotCodec {
       schemas.toMap, colAdd.toMap,
       lin.map(_.copy(bucketRows = bucketRows.toMap)), files.toSeq,
       brows.toMap, backfillDone, bmanifests.toMap, btmin.toMap,
-      // btmin lines without the marker (pre-marker metas) are still an
-      // index; only marker-less AND empty means "unknown"
-      tombIndexed = btminMarker || btmin.nonEmpty)
+      // the MARKER alone decides: btmin and the marker shipped in the same
+      // change, so a marker-less meta carrying btmin lines can only be a
+      // PARTIAL commit on a legacy (unindexed) table — its btmin map covers
+      // just the touched buckets, and trusting it would let compaction skip
+      // the untouched legacy buckets' tombstones forever
+      tombIndexed = btminMarker)
   }
 }

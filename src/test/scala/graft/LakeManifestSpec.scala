@@ -215,6 +215,42 @@ class LakeManifestSpec extends SparkSpec {
     assert(fresh.compactIncremental(spark, horizonLsn = 2000)._2.isEmpty)
   }
 
+  test("partial commit on a legacy meta does not self-certify the tomb index") {
+    val lake = LakeTable(spark, tmpDir("mflegacy2"))
+    lake.create(Schemas.transcript, 4)
+    // seed across all buckets, incl. a legacy-era tombstone the partial
+    // commit will NOT touch
+    MergeApply.applyBatch(spark, lake, spark.createDataset((0 until 40).map(
+      i => ev(2L * i + 2, Op.Insert, f"conv_$i%04d", 0, text = s"t$i"))).toDF(), 0L)
+    MergeApply.applyBatch(spark, lake, spark.createDataset(
+      Seq(ev(201, Op.Delete, "conv_0001", 0))).toDF(), 1L)
+    // strip marker + btmin lines: a pre-index meta
+    val fs = fsOf(lake)
+    val metaPath = new Path(lake.root,
+      f"_log/v${lake.snapshotVersions().max}%012d.meta")
+    val stripped = scala.io.Source.fromInputStream(fs.open(metaPath))
+      .getLines().filterNot(l =>
+        l.startsWith("btminv=") || l.startsWith("btmin=")).mkString("\n") + "\n"
+    val o = fs.create(metaPath, true)
+    try o.write(stripped.getBytes("UTF-8")) finally o.close()
+
+    val legacy = LakeTable(spark, lake.root)
+    assert(!legacy.snapshot().tombIndexed)
+    // ONE partial MERGE commit containing a delete: its meta carries btmin
+    // lines for the touched bucket but must NOT certify the whole table
+    // (the untouched legacy tombstone would never be GC'd)
+    MergeApply.applyBatch(spark, legacy, spark.createDataset(
+      Seq(ev(301, Op.Delete, "conv_0002", 0))).toDF(), 2L)
+    val reopened = LakeTable(spark, lake.root)
+    assert(!reopened.snapshot().tombIndexed,
+      "partially-indexed legacy table self-certified")
+    // the full upgrade pass still certifies and retires BOTH tombstones
+    val (snapUp, _) = reopened.compactIncremental(spark, horizonLsn = 2000)
+    assert(snapUp.tombIndexed)
+    assert(reopened.read(spark, includeTombstones = true)
+      .filter("_op = 2").count() == 0)
+  }
+
   test("vacuum sweeps superseded manifests, never referenced ones") {
     val lake = LakeTable(spark, tmpDir("mfvac"))
     lake.create(Schemas.transcript, 4)

@@ -251,6 +251,30 @@ class MergeApplySpec extends SparkSpec {
       == after)
   }
 
+  test("a truncated lineage file neither corrupts neighbors nor fakes rows") {
+    val lake = newLake(4)
+    applyAll(lake, (0 until 4).map(i =>
+      Seq(ev(2L * i + 2, Op.Insert, s"c$i", 0, text = s"t$i"))))
+    val fsys = new org.apache.hadoop.fs.Path(lake.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a legacy pre-atomic-append crash: v3's row cut mid-record,
+    // no trailing newline
+    val p = new org.apache.hadoop.fs.Path(lake.root, "_lineage/v000000000003.json")
+    val half = scala.io.Source.fromInputStream(fsys.open(p)).mkString.take(30)
+    val o = fsys.create(p, true)
+    o.write(half.getBytes("UTF-8")); o.close()
+    // PERMISSIVE read turns the fragment into an all-null row: filtered out
+    val rows = lake.lineageDf(spark)
+      .select("batch_id").as[Long].collect().toSeq.sorted
+    assert(rows == Seq(0L, 2L, 3L), s"unexpected lineage rows $rows")
+    // compaction splices a newline after the truncated part, so the NEXT
+    // file's record survives intact in the combined file
+    assert(lake.compactLineage() == 4)
+    val after = lake.lineageDf(spark)
+      .select("batch_id").as[Long].collect().toSeq.sorted
+    assert(after == Seq(0L, 2L, 3L), s"rows lost/corrupted by compaction: $after")
+  }
+
   test("vacuum deletes orphans and pre-horizon versions, never live data") {
     val lake = newLake(4)
     applyAll(lake, Seq(
