@@ -36,7 +36,75 @@ case class ControlStatus(
     // engine lifecycle (running/paused/draining), stage says whether a
     // snapshot (backfill) is still interleaving with the cdc stream
     state: String = "paused",
-    stage: String = "cdc")
+    stage: String = "cdc",
+    // current size of the streaming checkpoint's dedup state store (bytes
+    // on disk under <checkpoint>/state) — the one unbounded-in-lsn-range
+    // resource, surfaced so operators know WHEN to POST /rebase
+    dedupStateBytes: Long = -1L,
+    // true once dedupStateBytes crosses the configured rebase threshold
+    rebaseRecommended: Boolean = false,
+    // multi-table deployments: one row per destination lake (reference
+    // per-table progress, handlers.rs:255-291); empty for single-table
+    tables: Seq[TableStatus] = Seq.empty)
+
+/** Per-destination-table status row (multi-table deployments). */
+case class TableStatus(
+    name: String,
+    snapshotVersion: Long,
+    batchId: Long,
+    endLsn: Long,
+    schemaVersion: Int,
+    rowCount: Long,
+    lastBatchWallMs: Long)
+
+/** The verb surface [[HttpControl]] serves — implemented by the
+  * single-table [[Control]] and the multi-table [[MultiControl]].
+  */
+trait EngineControl {
+  def status(): ControlStatus
+  def metrics: MetricsSampler
+  def isRunning: Boolean
+  def pause(): Unit
+  def resume(): Unit
+  def drain(): Unit
+  def stop(): Unit
+  def reload(newMaxFilesPerTrigger: Option[Int] = None): Unit
+  def triggerSnapshotIfPaused(): Boolean
+  def pauseSnapshot(): Unit
+  def resumeSnapshot(): Unit
+  def rebaseIfPaused(): Boolean
+  def close(): Unit
+}
+
+/** Checkpoint-dir helpers shared by both control planes. */
+private[control] object CheckpointOps {
+  import org.apache.hadoop.fs.Path
+
+  /** Bytes on disk under `<checkpoint>/state` — the dedup state store. */
+  def stateBytes(spark: SparkSession, checkpointDir: String): Long = {
+    val p = new Path(checkpointDir, "state")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    var total = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) total += it.next().getLen
+    total
+  }
+
+  /** Drop the streaming checkpoint (offsets + dedup state), keeping the
+    * sink. Safe ONLY because (a) redelivered pre-endLsn events die on the
+    * sink's `lsn > endLsn` replay guard and (b) the persisted batch-id
+    * offset ([[graft.pipeline.Pipeline.batchIdOffset]]) keeps commit ids
+    * monotone across the fresh checkpoint. Callers must verify the sink
+    * HAS a position first.
+    */
+  def dropCheckpoint(spark: SparkSession, checkpointDir: String): Unit = {
+    val p = new Path(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+}
 
 /** The engine control plane: pause / resume / drain / stop / status plus
   * the on-demand snapshot trigger — the Spark collapse of the reference's
@@ -64,7 +132,13 @@ final class Control(
     // checkpoints.
     dedupImpl: String = "interval",
     // inline lake maintenance (compact + vacuum on the commit thread)
-    maintenance: Option[Pipeline.Maintenance] = None) {
+    maintenance: Option[Pipeline.Maintenance] = None,
+    // dedup-state size (bytes under <checkpoint>/state) above which
+    // status() flags rebaseRecommended; 0 = never recommend. Sizing: the
+    // stride-64 measurement (BENCH.md) puts bitmap state at ~122 GB per
+    // 10^12-byte WAL window at shift 14 — a daemon tailing byte-stride
+    // LSNs should set this to what its executors can actually hold.
+    rebaseThresholdBytes: Long = 0L) extends EngineControl {
 
   // @volatile so status()/isRunning never block on the control lock —
   // drain() holds it for the whole backlog, and the observability
@@ -196,8 +270,38 @@ final class Control(
     else { triggerSnapshot(); true }
   }
 
+  /** Live dedup-state retirement (the rebase the runner's
+    * `--rebase-checkpoint` flag did only at process start): drop the
+    * streaming checkpoint — offsets AND the dedup state store — while the
+    * engine is paused, keeping the lake. The next [[resume]] starts a
+    * fresh checkpoint whose batch ids are shifted past the lake's highest
+    * committed id ([[Pipeline.batchIdOffset]]), and any events the source
+    * redelivers below the lake's endLsn die on the per-key `lsn > endLsn`
+    * MERGE guard — replay equality is preserved with ZERO carried dedup
+    * state. Refused while running (the query owns the checkpoint) and on
+    * a lake with no applied position (nothing would guard replays).
+    */
+  def rebaseCheckpoint(): Unit = synchronized {
+    require(!isRunning,
+      "pause() the stream before rebaseCheckpoint(): the running query " +
+        "owns the checkpoint")
+    require(lake.snapshot().endLsn >= 0,
+      "refusing to rebase: the lake has no applied position " +
+        "(nothing would guard replayed events)")
+    CheckpointOps.dropCheckpoint(spark, checkpointDir)
+  }
+
+  /** Atomic paused-check + rebase for the HTTP facade (same race shape as
+    * [[triggerSnapshotIfPaused]]). Returns false (→ 409) when running.
+    */
+  def rebaseIfPaused(): Boolean = synchronized {
+    if (isRunning) false
+    else { rebaseCheckpoint(); true }
+  }
+
   def status(): ControlStatus = {
     val snap = lake.snapshot()
+    val stateBytes = CheckpointOps.stateBytes(spark, checkpointDir)
     ControlStatus(
       running = isRunning,
       snapshotVersion = snap.version,
@@ -216,7 +320,10 @@ final class Control(
       state = if (drainingFlag) "draining"
         else if (isRunning) "running" else "paused",
       stage = if (chunkSource.exists(_.numChunks > snap.backfillDone))
-        "snapshot" else "cdc")
+        "snapshot" else "cdc",
+      dedupStateBytes = stateBytes,
+      rebaseRecommended =
+        rebaseThresholdBytes > 0 && stateBytes > rebaseThresholdBytes)
   }
 
   /** Detach the metrics listener (call when discarding this Control). */

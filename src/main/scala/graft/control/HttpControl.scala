@@ -26,6 +26,17 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *   POST /snapshot/pause  → hold further backfill chunks while the CDC
   *                           stream keeps flowing (handlers.rs:233-245)
   *   POST /snapshot/resume → let backfill chunks interleave again
+  *   POST /rebase    → drop the streaming checkpoint (dedup state +
+  *                     offsets) while paused, keeping the lake — live
+  *                     dedup-state retirement; HTTP 409 while running.
+  *                     /status carries dedupStateBytes (and
+  *                     rebaseRecommended once past the configured
+  *                     threshold) so operators know when.
+  *
+  * Serves the single-table [[Control]] and the multi-table [[MultiControl]]
+  * alike (the [[EngineControl]] verb surface); a multi-table engine's
+  * status adds one `tables` row per destination lake (reference per-table
+  * progress, handlers.rs:255-291).
   *
   * Deliberately JDK-only (com.sun.net.httpserver): the control plane is an
   * ops convenience, not a data path — it must add zero dependencies and
@@ -36,7 +47,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * operator decision (`bindAddress = "0.0.0.0"`) fronted by whatever auth
   * layer the deployment provides.
   */
-final class HttpControl(ctl: Control, port: Int = 0,
+final class HttpControl(ctl: EngineControl, port: Int = 0,
     bindAddress: String = "127.0.0.1") {
 
   private val server =
@@ -91,7 +102,18 @@ final class HttpControl(ctl: Control, port: Int = 0,
       s""""skippedEvolutions":${s.lastBatchSkippedEvolutions},""" +
       s""""eventsPerSec":${s.eventsPerSec},"lagMs":${s.lagMs},""" +
       s""""snapshotPaused":${s.snapshotPaused},""" +
-      s""""state":"${s.state}","stage":"${s.stage}"}"""
+      s""""dedupStateBytes":${s.dedupStateBytes},""" +
+      s""""rebaseRecommended":${s.rebaseRecommended},""" +
+      s""""state":"${s.state}","stage":"${s.stage}"""" +
+      (if (s.tables.isEmpty) "}"
+       else s.tables.map(t =>
+         s"""{"name":${HttpControl.q(t.name)},""" +
+           s""""snapshotVersion":${t.snapshotVersion},""" +
+           s""""batchId":${t.batchId},"endLsn":${t.endLsn},""" +
+           s""""schemaVersion":${t.schemaVersion},""" +
+           s""""rowCount":${t.rowCount},""" +
+           s""""lastBatchWallMs":${t.lastBatchWallMs}}""")
+         .mkString(""","tables":[""", ",", "]}"))
   }
 
   /** Parse a query string into key→value (simple knob names/values only —
@@ -145,6 +167,15 @@ final class HttpControl(ctl: Control, port: Int = 0,
   })
   server.createContext("/stop", handler { ex =>
     postOnly(ex) { ctl.stop(); (200, statusJson) }
+  })
+  server.createContext("/rebase", handler { ex =>
+    postOnly(ex) {
+      // same atomic check+verb shape as /snapshot: the control lock spans
+      // the paused check and the checkpoint drop
+      if (ctl.rebaseIfPaused()) (200, statusJson)
+      else
+        (409, """{"error":"pause the stream before rebasing the checkpoint"}""")
+    }
   })
   // JDK HttpServer matches the LONGEST registered context prefix, so these
   // win over the plain /snapshot trigger above for their exact paths

@@ -110,6 +110,125 @@ class HttpControlSpec extends SparkSpec {
     }
   }
 
+  test("live rebase: dedup state drops mid-soak, replay equality preserved") {
+    val cfg = GenConfig(seed = 97, numConvs = 40, eventsPerConv = 20,
+      pctUpdate = 0.3, pctDelete = 0.1)
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("httprebase")
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // phase 1: first half of the segments
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(events).toDF(), s"$work/all", 8)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/binlog"))
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/all"))
+      .map(_.getPath).sortBy(_.getName)
+    def addSegs(ps: Seq[org.apache.hadoop.fs.Path]): Unit = ps.foreach(p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+        new org.apache.hadoop.fs.Path(s"$work/binlog", p.getName), false,
+        spark.sparkContext.hadoopConfiguration))
+    addSegs(segs.take(4).toSeq)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 4)
+    val ctl = new Control(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 2, rebaseThresholdBytes = 1L)
+    val http = new HttpControl(ctl).start()
+    try {
+      val port = http.boundPort
+      post(port, "/drain")
+      val batchBefore = lake.snapshot().batchId
+      assert(batchBefore >= 0)
+      // dedup state accumulated; past the (tiny) threshold -> recommended
+      val st1 = get(port, "/status")._2
+      assert(!st1.contains("\"dedupStateBytes\":0,"),
+        s"no dedup state after drain: $st1")
+      assert(st1.contains("\"rebaseRecommended\":true"))
+
+      // rebase refused while running (409), then accepted when paused
+      post(port, "/resume")
+      assert(post(port, "/rebase")._1 == 409)
+      post(port, "/pause")
+      val (cr, sr) = post(port, "/rebase")
+      assert(cr == 200 && sr.contains("\"dedupStateBytes\":0,"), sr)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/ckpt")))
+
+      // phase 2: the REST of the segments arrive; the fresh checkpoint
+      // re-reads phase-1 segments too (worst-case redelivery) — the lake's
+      // lsn guard + shifted batch ids must absorb them exactly-once
+      addSegs(segs.drop(4).toSeq)
+      post(port, "/drain")
+      val live = lake.read(spark)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "_lsn", "_op")
+        .as[Transcript].collect().toVector.sortBy(t => (t.conv_id, t.turn_idx))
+      assert(live == OracleFold.finalState(events),
+        "replay equality broken across live rebase")
+      // batch ids stayed monotone across the rebase (no swallowed batches)
+      assert(lake.snapshot().batchId > batchBefore)
+      // new (small) state accumulated under the fresh checkpoint
+      assert(!get(port, "/status")._2.contains("\"dedupStateBytes\":0,"))
+    } finally {
+      http.stop()
+      ctl.close()
+    }
+  }
+
+  test("multi-table control plane: per-table status rows + verbs + rebase") {
+    import org.apache.spark.sql.functions.{col, substring, when}
+    val cfg = GenConfig(seed = 101, numConvs = 30, eventsPerConv = 12,
+      pctUpdate = 0.3, pctDelete = 0.1)
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("httpmulti")
+    val n = substring(col("conv_id"), 6, 8).cast("int")
+    val tagged = spark.createDataset(events).toDF()
+      .withColumn("table", when(n % 2 === 0, "a").otherwise("b"))
+    BinlogGen.writeSegments(spark, tagged, s"$work/binlog", 4)
+    val lakes = Map(
+      "a" -> LakeTable(spark, s"$work/lake-a"),
+      "b" -> LakeTable(spark, s"$work/lake-b"))
+    lakes.values.foreach(_.create(Schemas.transcript, 4))
+    val ctl = new graft.control.MultiControl(spark, s"$work/binlog", lakes,
+      s"$work/ckpt", maxFilesPerTrigger = 2)
+    val http = new HttpControl(ctl).start()
+    try {
+      val port = http.boundPort
+      post(port, "/drain")
+      def liveState(lake: LakeTable): Vector[Transcript] =
+        lake.read(spark)
+          .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "_lsn", "_op")
+          .as[Transcript].collect().toVector.sortBy(t => (t.conv_id, t.turn_idx))
+      def tableOf(c: String) =
+        if (c.stripPrefix("conv_").toInt % 2 == 0) "a" else "b"
+      for ((name, lake) <- lakes)
+        assert(liveState(lake) == OracleFold.finalState(
+          events.filter(e => e.conv_id != null && tableOf(e.conv_id) == name)),
+          s"table $name diverged")
+      // per-table rows surface in /status (reference per-table progress)
+      val st = get(port, "/status")._2
+      assert(st.contains(""""tables":[{"name":"a""""), st)
+      assert(st.contains(""""name":"b""""), st)
+      val rowCountSum = lakes.values.map(_.snapshot().rowCount).sum
+      assert(st.contains(s""""rowCount":$rowCountSum,"""), st)
+      // pause/resume/reload round-trip on the multi engine
+      assert(post(port, "/resume")._2.contains("\"running\":true"))
+      assert(post(port, "/rebase")._1 == 409) // running
+      assert(post(port, "/reload?maxFilesPerTrigger=4")._2
+        .contains("\"running\":true"))
+      assert(post(port, "/pause")._2.contains("\"running\":false"))
+      // live rebase across the whole table set; a further drain with the
+      // re-read log is a per-table no-op (replay equality per lake)
+      val before = lakes.map { case (nm, l) => nm -> liveState(l) }
+      assert(post(port, "/rebase")._1 == 200)
+      post(port, "/drain")
+      assert(lakes.forall { case (nm, l) => liveState(l) == before(nm) },
+        "post-rebase redelivery changed a table")
+      // no backfill on multi: snapshot trigger is a loud 500
+      assert(post(port, "/snapshot")._1 == 500)
+    } finally {
+      http.stop()
+      ctl.close()
+    }
+  }
+
   test("backfill progress detail in /status (per-table parity)") {
     val cfg = GenConfig(seed = 89, numConvs = 20, eventsPerConv = 10)
     val events = BinlogGen.events(cfg)
