@@ -146,9 +146,12 @@ object CdcRunner {
     // and exits (the test/bench shape).
     val daemonSecs = opt.get("--daemon-seconds").map(_.toLong)
     val httpPort = opt.get("--http-port").map(_.toInt)
-    // "interval" (default) | "hash": a checkpoint's stateful-dedup plan is
-    // baked in at first start — pass `--dedup-impl hash` to resume a
-    // checkpoint created before the interval/bitmap dedup became default.
+    // "interval" (default) | "interval:<shift>" | "hash": a checkpoint's
+    // stateful-dedup plan is baked in at first start — pass
+    // `--dedup-impl hash` to resume a checkpoint created before the
+    // interval/bitmap dedup became default, or `interval:20` for
+    // byte-stride WALs (bigger buckets → less state per WAL byte; the
+    // shift is checkpoint-locked like the partition count).
     val dedupImpl = opt.getOrElse("--dedup-impl", "interval")
     // inline maintenance cadence (compact + vacuum every N batches on the
     // commit thread); 0 = off. --vacuum-grace-ms shortens the orphan

@@ -43,22 +43,40 @@ object Pipeline {
   private[graft] def batchIdOffset(
       spark: SparkSession, checkpointDir: String,
       committedBatchId: Long): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(checkpointDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = dir.getFileSystem(conf)
     val f = new org.apache.hadoop.fs.Path(dir, "graft-batchid-offset")
-    if (fs.exists(f)) {
+    def readOffset(): Long = {
       val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    } else {
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      // recomputing on parse failure would be WRONG (the fresh-checkpoint
+      // heuristic no longer holds once batches committed under this
+      // offset), so fail with the remedy instead of a bare NumberFormat
+      try text.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt batch-id offset file $f (content '$text'): restore it " +
+            "to the original offset, or rebase onto a fresh checkpoint")
+      }
+    }
+    if (fs.exists(f)) readOffset()
+    else {
       val offsetsDir = new org.apache.hadoop.fs.Path(dir, "offsets")
       val freshCheckpoint =
         !fs.exists(offsetsDir) || fs.listStatus(offsetsDir).isEmpty
       val off = if (freshCheckpoint) math.max(0L, committedBatchId + 1) else 0L
       fs.mkdirs(dir)
-      val o = fs.create(f, true)
+      // tmp + no-overwrite rename: a crash between create and write must
+      // not leave an empty offset file that bricks every later start
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".tmp-batchid-${java.util.UUID.randomUUID().toString.take(8)}")
+      val o = fs.create(tmp, true)
       try o.write(off.toString.getBytes("UTF-8")) finally o.close()
-      off
+      if (new graft.lake.AtomicFs(fs, conf).renameNoOverwrite(tmp, f)) off
+      else readOffset() // lost the publish race: the winner's value rules
     }
   }
 
@@ -66,6 +84,11 @@ object Pipeline {
     *   - "interval" (default): [[graft.dedup.IntervalDedup]] —
     *     interval-compressed state, O(lsn-range buckets) instead of
     *     O(events-in-watermark); the 10^10-event-scale configuration.
+    *     "interval:N" overrides the bucket shift (lsns per bitmap bucket =
+    *     2^N): byte-stride WALs want a LARGER shift so state per covered
+    *     WAL byte shrinks (the stride-64 sizing in BENCH.md). The shift is
+    *     checkpoint-locked like the state partition count — resuming under
+    *     a different one fails loudly (IntervalDedup's word-count guard).
     *   - "hash": `dropDuplicatesWithinWatermark("lsn")` — Spark's built-in
     *     one-state-row-per-key dedup, kept for A/B measurement.
     */
@@ -80,10 +103,19 @@ object Pipeline {
        // event-time watermark here would DROP late input rows (the dDWW
        // trap) instead of deduping them
        case "interval" => graft.dedup.IntervalDedup.stage(src)
+       case s if s.startsWith("interval:") =>
+         val n = s.stripPrefix("interval:")
+         val shift =
+           try n.toInt
+           catch {
+             case _: NumberFormatException => throw new IllegalArgumentException(
+               s"bad dedupImpl '$s': expected interval:<shift>, e.g. interval:20")
+           }
+         graft.dedup.IntervalDedup.stage(src, shift)
        case "hash" => src.withWatermark("ts", watermarkDelay)
          .dropDuplicatesWithinWatermark("lsn")
        case other => throw new IllegalArgumentException(
-         s"unknown dedupImpl '$other' (expected interval | hash)")
+         s"unknown dedupImpl '$other' (expected interval[:shift] | hash)")
      })
       // per-batch max event time via CollectMetrics: feeds the A9 lag
       // metric in every mode (the watermark-derived progress.eventTime
@@ -221,7 +253,12 @@ object Pipeline {
       transportDedup: Boolean = true,
       watermarkDelay: String = "10 minutes",
       applyShufflePartitions: Option[Int] = None,
-      dedupImpl: String = "interval"): StreamingQuery = {
+      dedupImpl: String = "interval",
+      // inline sink maintenance cadence (sink.maintain on the commit
+      // thread every N batches — for raw-append: normalize fold + staged-
+      // dir compaction + tmp reaping); 0 = off. Same single-writer shape
+      // as the merge path's Maintenance.
+      maintenanceEvery: Int = 0): StreamingQuery = {
     val src0 = spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -236,6 +273,9 @@ object Pipeline {
         applyShufflePartitions.foreach(n =>
           ss.conf.set("spark.sql.shuffle.partitions", n.toString))
         sink.applyBatch(ss, batch, batchId + idOff)
+        val bid = batchId + idOff
+        if (maintenanceEvery > 0 && bid > 0 && bid % maintenanceEvery == 0)
+          sink.maintain(ss)
       }
       .trigger(if (availableNow) Trigger.AvailableNow()
                else Trigger.ProcessingTime("5 seconds"))

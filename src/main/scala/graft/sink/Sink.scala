@@ -48,6 +48,16 @@ trait Sink extends Serializable {
     * collide with (and be swallowed by) this sink's replay guard.
     */
   def lastBatchId(spark: SparkSession): Long = -1L
+
+  /** One inline maintenance pass, invoked on the COMMIT THREAD every
+    * `maintenanceEvery` micro-batches by
+    * [[graft.pipeline.Pipeline.startWithSink]] — the analog of the
+    * reference's continuously-running normalizer + DELETE loop
+    * (src/connectors/sinks/postgres/normalizer.rs:102-359). Running on the
+    * commit thread keeps the sink's single-writer rule by construction.
+    * Default: nothing to maintain.
+    */
+  def maintain(spark: SparkSession): Unit = ()
 }
 
 /** Declarative sink selection (the reference's `SinkConfig`,
@@ -351,15 +361,44 @@ final class RawAppendSink(
       .filter(_._2.snapshotVersions().nonEmpty)
       .toMap
 
+  // Multi-table normalize watermark marker: the bound of the last COMPLETE
+  // fold, written ONCE per fold cycle — replacing the previous
+  // one-empty-commit-per-quiet-lake advance (O(tables) tiny commits per
+  // fold at reference-like 25+ tables). Loss/corruption degrades to the
+  // conservative per-lake MIN (extra refold work, replayed idempotently
+  // through the batchId + lsn guards), never to wrongness.
+  private def nwMarkerPath = new Path(root, "_normalize_watermark")
+
+  private def readNwMarker(): Long =
+    if (!fs.exists(nwMarkerPath)) -1L
+    else {
+      val in = fs.open(nwMarkerPath)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      try text.toLong catch { case _: NumberFormatException => -1L }
+    }
+
+  private def writeNwMarker(bound: Long): Unit = {
+    val tmp = new Path(root, s".tmp-nwmark-${UUID.randomUUID().toString.take(8)}")
+    val o = fs.create(tmp, true)
+    try o.write(bound.toString.getBytes("UTF-8")) finally o.close()
+    fs.delete(nwMarkerPath, false)
+    require(fs.rename(tmp, nwMarkerPath), "normalize watermark refresh failed")
+  }
+
   /** Highest batch id every normalized lake has folded (−1 = none): the
-    * compaction bound. Multi-table takes the MIN across per-table lakes —
-    * a batch is only "normalized" once every table saw it.
+    * compaction bound. Multi-table takes the marker of the last complete
+    * fold, falling back to the MIN across per-table lakes (a batch is only
+    * "normalized" once every table saw it).
     */
   private[graft] def normalizeWatermark(): Long =
     if (isMultiTable) {
       val lakes = normalizedTableLakes()
-      if (lakes.isEmpty) -1L
-      else lakes.values.map(_.snapshot().batchId).min
+      val fromLakes =
+        if (lakes.isEmpty) -1L
+        else lakes.values.map(_.snapshot().batchId).min
+      math.max(readNwMarker(), fromLakes)
     } else if (normLakeHandle.snapshotVersions().isEmpty) -1L
     else normLakeHandle.snapshot().batchId
 
@@ -438,13 +477,12 @@ final class RawAppendSink(
       // MultiApply advances only tables PRESENT in the folded range; a
       // table quiet in this range would otherwise pin the MIN watermark
       // forever (every later fold re-reads all batches, compaction never
-      // progresses). Advance the quiet lakes with an empty commit —
-      // idempotent on replay (batchId already at the bound).
-      for ((_, lk) <- normalizedTableLakes()) {
-        val snap = lk.snapshot()
-        if (snap.batchId < bound) lk.commitEmpty(snap, bound)
-      }
-      ()
+      // progresses). ONE marker write per fold records the completed
+      // bound — not one empty commit per quiet lake, which at
+      // reference-like 25+ tables was O(tables) version churn per fold.
+      // Written AFTER the fan-out returns (all per-table commits durable);
+      // a crash before it just refolds the range idempotently.
+      writeNwMarker(bound)
     }
     val lakes = normalizedTableLakes()
     if (lakes.isEmpty) {
@@ -513,6 +551,22 @@ final class RawAppendSink(
     for ((_, p) <- eligible) { fs.delete(p, true); removed += 1 }
     if (prev >= 0) { fs.delete(new Path(root, s"compacted-$prev"), true); removed += 1 }
     removed
+  }
+
+  /** Inline maintenance (daemon shape): fold pending raw batches into the
+    * normalized table(s), coalesce the folded batch dirs, reap expired tmp
+    * leftovers. Without this, a long-lived `startWithSink` daemon
+    * accumulates one `batch=` dir per trigger forever (the reference's
+    * normalizer loop runs continuously for the same reason,
+    * normalizer.rs:102-359). Each step is independently idempotent and
+    * crash-safe, so a kill mid-maintenance just leaves work for the next
+    * pass.
+    */
+  override def maintain(spark: SparkSession): Unit = {
+    normalizeIncremental(spark) // folds eagerly; returned frame unused
+    compactRaw(spark)
+    vacuumTmp()
+    ()
   }
 
   /** Reap crashed-write leftovers. `graceMs` (default 24 h, like

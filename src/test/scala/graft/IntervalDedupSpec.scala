@@ -198,6 +198,57 @@ class IntervalDedupSpec extends SparkSpec {
     assert(maxStateRows >= 0 && maxStateRows <= events.size / 10)
   }
 
+  test("shift 20: checkpoint-locked — mismatched resume fails actionably, " +
+      "matching resume stays exact") {
+    // byte-stride WALs want a bigger bucket (interval:20 = 2^20 lsns per
+    // 128 KiB bitmap); the shift is baked into the checkpointed state like
+    // the partition count, so a resume under the DEFAULT shift must fail
+    // with the remedy, and a matching resume must keep replay equality
+    val cfg = GenConfig(seed = 41, numConvs = 40, eventsPerConv = 20)
+    val events = BinlogGen.events(cfg)
+    val firstHalf = events.filter(_.lsn < events(events.size / 2).lsn)
+    val work = tmpDir("ivshift20")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deliver(src: String, prefix: String, mtime0: Long): Unit =
+      for ((p, i) <- fs.listStatus(new Path(src)).map(_.getPath)
+          .sortBy(_.getName).zipWithIndex) {
+        val to = new Path(s"$work/binlog", prefix + p.getName)
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, to, false,
+          spark.sparkContext.hadoopConfiguration)
+        fs.setTimes(to, mtime0 + i * 1000L, -1)
+      }
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(firstHalf).toDF(), s"$work/seg-a", 3)
+    val lake = LakeTable(spark, s"$work/lake")
+    lake.create(Schemas.transcript, 8)
+    fs.mkdirs(new Path(s"$work/binlog"))
+    deliver(s"$work/seg-a", "a-", BinlogGen.BaseMs)
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 1, dedupImpl = "interval:20")
+    assert(liveState(lake) == OracleFold.finalState(firstHalf))
+
+    // rest of the log + a redelivered slice: resuming under the DEFAULT
+    // shift hits stored shift-20 bitmaps and must fail loudly
+    val rest = events.filterNot(firstHalf.contains) ++ firstHalf.take(30)
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(rest.sortBy(_.lsn)).toDF(), s"$work/seg-b", 3)
+    deliver(s"$work/seg-b", "b-", BinlogGen.BaseMs + 100000L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+        maxFilesPerTrigger = 1, dedupImpl = "interval")
+    }
+    def rootChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(rootChain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("different shift")),
+      s"wrong failure: $e")
+    // the failed batch never committed: the matching-shift resume replays
+    // it and converges on the full-history oracle
+    Pipeline.runAvailable(spark, s"$work/binlog", lake, s"$work/ckpt",
+      maxFilesPerTrigger = 1, dedupImpl = "interval:20")
+    assert(liveState(lake) == OracleFold.finalState(events))
+  }
+
   test("stop/restart: redelivery across restart collapses; state resumes") {
     val cfg = GenConfig(seed = 31, numConvs = 40, eventsPerConv = 20)
     val events = BinlogGen.events(cfg)

@@ -73,6 +73,27 @@ class PipelineSpec extends SparkSpec {
     assert(liveState(lake) == OracleFold.finalState(events))
   }
 
+  test("batch-id offset file: atomic publish; corrupt file fails actionably") {
+    val work = tmpDir("bidoff")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fresh checkpoint over a sink at batch 7 -> offset 8, file published
+    val off = Pipeline.batchIdOffset(spark, s"$work/ckpt", 7L)
+    assert(off == 8L)
+    // no tmp leftovers: the write published atomically
+    assert(!fs.listStatus(new Path(s"$work/ckpt"))
+      .exists(_.getPath.getName.startsWith(".tmp-")))
+    // same-checkpoint restart re-reads the stored offset
+    assert(Pipeline.batchIdOffset(spark, s"$work/ckpt", 99L) == 8L)
+    // a corrupt (e.g. legacy crash-emptied) offset file must fail with the
+    // remedy, not a bare NumberFormatException, and must NOT be recomputed
+    val f = new Path(s"$work/ckpt/graft-batchid-offset")
+    val o = fs.create(f, true); o.close() // empty file
+    val e = intercept[IllegalStateException] {
+      Pipeline.batchIdOffset(spark, s"$work/ckpt", 7L)
+    }
+    assert(e.getMessage.contains("batch-id offset"))
+  }
+
   test("mid-stream schema evolution: tool column added by ddl event") {
     val addAt = 1001L // odd lsn
     val cfg = GenConfig(seed = 9, numConvs = 40, eventsPerConv = 30,

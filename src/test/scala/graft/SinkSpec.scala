@@ -100,8 +100,8 @@ class SinkSpec extends SparkSpec {
         .withColumn("table", lit("a")), i + 1L)
     }
     raw.normalizeIncremental(spark)
-    // the quiet table 'b' advanced via empty commits: the MIN watermark
-    // reaches the newest folded batch, so compaction can retire ALL dirs
+    // the fold-complete marker advances the watermark past the quiet
+    // table 'b': compaction can retire ALL dirs
     assert(raw.normalizeWatermark() >= 3L,
       s"watermark pinned at ${raw.normalizeWatermark()}")
     assert(raw.compactRaw(spark) >= 4)
@@ -111,6 +111,18 @@ class SinkSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)))
     assert(got.forall { case (t, c) =>
       (c.stripPrefix("conv_").toInt % 2 == 0) == (t == "a") })
+    // version churn is O(active tables) per fold: further a-only folds
+    // must not grow the quiet lake's version (the pre-marker design paid
+    // one empty commit per quiet lake per fold)
+    val bVer = raw.normalizedTableLakes()("b").snapshot().version
+    for (i <- 4 to 6) {
+      raw.applyBatch(spark, spark.createDataset(
+        events.take(8).toVector).toDF().withColumn("table", lit("a")), i.toLong)
+      raw.normalizeIncremental(spark)
+    }
+    assert(raw.normalizeWatermark() >= 6L)
+    assert(raw.normalizedTableLakes()("b").snapshot().version == bVer,
+      "quiet lake's version grew with folds it took no part in")
   }
 
   test("raw-append replay is a no-op; crashed tmp dirs are invisible and reaped") {
@@ -339,6 +351,39 @@ class SinkSpec extends SparkSpec {
     assert(removed >= 2, s"retry must sweep stale dirs, removed=$removed")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/raw/compacted-0")))
     assert(raw().read(spark).count() == expect)
+  }
+
+  test("daemon-shaped raw-append: inline maintenance bounds the staged dirs") {
+    // the long-lived startWithSink shape: without inline maintenance a
+    // raw-append daemon accumulates one batch= dir per trigger forever
+    // (the reference's normalizer+DELETE loop runs continuously for the
+    // same reason, normalizer.rs:102-359)
+    val cfg = GenConfig(seed = 103, numConvs = 40, eventsPerConv = 20,
+      pctUpdate = 0.3, pctDelete = 0.1)
+    val events = BinlogGen.events(cfg)
+    val work = tmpDir("sinkdaemon")
+    BinlogGen.writeSegments(spark,
+      spark.createDataset(events).toDF(), s"$work/binlog", 10)
+    val raw = Sink.create(spark, SinkConfig("raw-append", s"$work/raw"))
+      .asInstanceOf[RawAppendSink]
+    Pipeline.startWithSink(spark, s"$work/binlog", raw, s"$work/ckpt",
+      maxFilesPerTrigger = 1, maintenanceEvery = 3).awaitTermination()
+    // ~10 triggers with a maintenance pass every 3: the staged-dir count
+    // is bounded by the cadence, not the trigger count
+    val fs = new org.apache.hadoop.fs.Path(s"$work/raw")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/raw"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    assert(batchDirs.length <= 3,
+      s"staged dirs unbounded under inline maintenance: ${batchDirs.toList}")
+    // the normalized table is current through the last maintenance pass
+    assert(raw.normalizeWatermark() >= 6L,
+      s"normalize watermark stuck at ${raw.normalizeWatermark()}")
+    // nothing lost to compaction: the raw view still carries every event,
+    // and the final fold equals the full-history oracle
+    assert(raw.read(spark).count() == events.size)
+    assert(payload(raw.normalizeIncremental(spark)) ==
+      payloadOf(OracleFold.finalState(events)))
   }
 
   test("T13: sink failure halts the stream loudly; restart resumes exactly-once") {
