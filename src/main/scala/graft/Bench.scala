@@ -27,8 +27,20 @@ object Bench {
     // timing (round-2 judge finding: `catch { _ => -1L }` masked failures).
     // Samples interleave (full pass over all queries, k times) so a host
     // noise burst hits one sample of many queries, not all samples of one.
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the suite for targeted A/B
+    // re-measurement (e.g. one suspect query at higher k in a quiet
+    // window) without touching the full-suite default the driver runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_BENCH_ONLY: $unknown")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     def onePass(): Map[String, (Double, Option[String])] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).count(); None }
@@ -44,7 +56,7 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val names = SparkEntry.queries.keys.toSeq
+    val names = selected.keys.toSeq
     val agg: Map[String, (Double, Double, Double, Option[String])] =
       names.map { n =>
         val ts = passes.map(_(n)._1)
@@ -74,10 +86,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$k,"minmax":$spread,"errors":$errs,"sf":"$sfDir"}"""
     println(compact)
     Console.out.flush()
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), full)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_minmax.json"),
-      s"""{"samples":$k,"minmax":$spread}""")
+    // a narrowed run must not clobber the committed full-suite artifacts
+    if (only.isEmpty) {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), full)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_minmax.json"),
+        s"""{"samples":$k,"minmax":$spread}""")
+      ()
+    }
     spark.stop()
   }
 }
