@@ -64,6 +64,9 @@ trait EngineControl {
   def status(): ControlStatus
   def metrics: MetricsSampler
   def isRunning: Boolean
+  // lock-free (volatile) so the HTTP facade can turn a verb that would
+  // block on the drain-held control lock into an immediate 409
+  def isDraining: Boolean
   def pause(): Unit
   def resume(): Unit
   def drain(): Unit
@@ -220,6 +223,8 @@ final class Control(
   // status endpoint stays lock-free, so it must read a flag, not the lock)
   @volatile private var drainingFlag: Boolean = false
 
+  def isDraining: Boolean = drainingFlag
+
   /** Drain: process everything currently in the log, then stop — distinct
     * from [[pause]], which stops at the next batch boundary regardless of
     * backlog. Completes any pending backfill chunks too.
@@ -289,6 +294,23 @@ final class Control(
       "refusing to rebase: the lake has no applied position " +
         "(nothing would guard replayed events)")
     CheckpointOps.dropCheckpoint(spark, checkpointDir)
+    stateBytesMemo = (-1L, 0L) // the next status() must see the drop
+  }
+
+  // /status may be polled at dashboard frequency, and a recursive listing
+  // of a multi-GB state dir per poll is real I/O against object storage —
+  // memoize for a few seconds (state size moves per micro-batch, not per
+  // poll); rebase invalidates so the drop is immediately visible
+  @volatile private var stateBytesMemo: (Long, Long) = (-1L, 0L)
+  private def dedupStateBytesNow(): Long = {
+    val now = System.currentTimeMillis()
+    val (v, exp) = stateBytesMemo
+    if (v >= 0 && now < exp) v
+    else {
+      val b = CheckpointOps.stateBytes(spark, checkpointDir)
+      stateBytesMemo = (b, now + 5000L)
+      b
+    }
   }
 
   /** Atomic paused-check + rebase for the HTTP facade (same race shape as
@@ -301,7 +323,7 @@ final class Control(
 
   def status(): ControlStatus = {
     val snap = lake.snapshot()
-    val stateBytes = CheckpointOps.stateBytes(spark, checkpointDir)
+    val stateBytes = dedupStateBytesNow()
     ControlStatus(
       running = isRunning,
       snapshotVersion = snap.version,

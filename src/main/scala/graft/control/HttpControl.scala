@@ -85,6 +85,12 @@ final class HttpControl(ctl: EngineControl, port: Int = 0,
   private def postOnly(ex: HttpExchange)(body: => (Int, String)) =
     if (ex.getRequestMethod != "POST")
       (405, """{"error":"POST required"}""")
+    // drain() holds the control lock for the whole backlog: every other
+    // verb would block on it until the drain ends and then run on a
+    // drained engine — answer 409 immediately instead of appearing hung
+    // (status/metrics/health stay lock-free and keep answering)
+    else if (ctl.isDraining)
+      (409, """{"error":"draining: retry after the backlog completes"}""")
     else body
 
   private def statusJson: String = {

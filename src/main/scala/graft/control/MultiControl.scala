@@ -42,6 +42,8 @@ final class MultiControl(
 
   def isRunning: Boolean = query.exists(_.isActive)
 
+  def isDraining: Boolean = drainingFlag
+
   def resume(): Unit = synchronized {
     if (!isRunning)
       query = Some(Pipeline.startMulti(spark, binlogDir, lakes, checkpointDir,
@@ -102,6 +104,21 @@ final class MultiControl(
       "refusing to rebase: a destination lake has no applied position " +
         "(nothing would guard its replayed events)")
     CheckpointOps.dropCheckpoint(spark, checkpointDir)
+    stateBytesMemo = (-1L, 0L) // the next status() must see the drop
+  }
+
+  // same memo as Control: /status polls must not pay a recursive state-dir
+  // listing each; rebase invalidates
+  @volatile private var stateBytesMemo: (Long, Long) = (-1L, 0L)
+  private def dedupStateBytesNow(): Long = {
+    val now = System.currentTimeMillis()
+    val (v, exp) = stateBytesMemo
+    if (v >= 0 && now < exp) v
+    else {
+      val b = CheckpointOps.stateBytes(spark, checkpointDir)
+      stateBytesMemo = (b, now + 5000L)
+      b
+    }
   }
 
   def rebaseIfPaused(): Boolean = synchronized {
@@ -117,7 +134,7 @@ final class MultiControl(
       TableStatus(n, s.version, s.batchId, s.endLsn, s.schemaVersion,
         s.rowCount, s.lineage.map(_.wallMs).getOrElse(-1L))
     }
-    val stateBytes = CheckpointOps.stateBytes(spark, checkpointDir)
+    val stateBytes = dedupStateBytesNow()
     ControlStatus(
       running = isRunning,
       snapshotVersion = snaps.map(_._2.version).max,

@@ -285,4 +285,49 @@ class HttpControlSpec extends SparkSpec {
       ctl.close()
     }
   }
+
+  test("verbs answer 409 while a drain holds the control lock") {
+    // drain() holds the control lock for the whole backlog, so any other
+    // verb posted mid-drain would block until the drain ends and then run
+    // on a drained engine. The facade must turn that into an immediate
+    // 409 while the lock-free reads (status/metrics/health) keep
+    // answering. A real mid-drain window is racy to catch, so pin the
+    // flag with a stub control.
+    import graft.control.{ControlStatus, EngineControl, MetricsSampler}
+    val stub = new EngineControl {
+      def status(): ControlStatus = ControlStatus(
+        running = true, snapshotVersion = 1, batchId = 0, endLsn = 0,
+        schemaVersion = 1, backfillDone = 0, rowCount = 0,
+        lastBatchWallMs = -1, lastBatchSkippedEvolutions = 0)
+      val metrics = new MetricsSampler("stub")
+      def isRunning: Boolean = true
+      def isDraining: Boolean = true
+      def pause(): Unit = fail("verb reached the engine during a drain")
+      def resume(): Unit = fail("verb reached the engine during a drain")
+      def drain(): Unit = fail("verb reached the engine during a drain")
+      def stop(): Unit = fail("verb reached the engine during a drain")
+      def reload(n: Option[Int]): Unit =
+        fail("verb reached the engine during a drain")
+      def triggerSnapshotIfPaused(): Boolean =
+        fail("verb reached the engine during a drain")
+      def pauseSnapshot(): Unit = fail("verb reached the engine during a drain")
+      def resumeSnapshot(): Unit = fail("verb reached the engine during a drain")
+      def rebaseIfPaused(): Boolean =
+        fail("verb reached the engine during a drain")
+      def close(): Unit = ()
+    }
+    val http = new HttpControl(stub).start()
+    try {
+      val port = http.boundPort
+      for (verb <- Seq("/pause", "/resume", "/drain", "/stop", "/reload",
+        "/snapshot", "/snapshot/pause", "/snapshot/resume", "/rebase")) {
+        val (code, body) = post(port, verb)
+        assert(code == 409 && body.contains("draining"), s"verb $verb")
+      }
+      // the lock-free reads still answer during the drain
+      assert(get(port, "/status")._1 == 200)
+      assert(get(port, "/metrics")._1 == 200)
+      assert(get(port, "/health")._1 == 200)
+    } finally http.stop()
+  }
 }
