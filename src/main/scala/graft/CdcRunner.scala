@@ -161,10 +161,17 @@ object CdcRunner {
         everyBatches = n,
         vacuumGraceMs = opt.get("--vacuum-grace-ms").map(_.toLong)
           .getOrElse(86400000L)))
+    // --rebase-threshold-mb: when the dedup state store crosses this size,
+    // /status flips rebaseRecommended=true — the operator signal for WHEN
+    // to pause+POST /rebase (at byte-stride LSNs the bitmap grows with the
+    // WAL window; see BENCH.md stride measurements). 0 = never recommend.
+    val rebaseThresholdBytes = opt.get("--rebase-threshold-mb")
+      .map(_.toLong * 1024 * 1024).getOrElse(0L)
     if (daemonSecs.isDefined) {
       val ctl = new graft.control.Control(spark, binlogDir, lake, ckptDir,
         maxFilesPerTrigger = fpt, dedupImpl = dedupImpl,
-        maintenance = maintenance)
+        maintenance = maintenance,
+        rebaseThresholdBytes = rebaseThresholdBytes)
       // --http-bind widens past the loopback default (unauthenticated
       // verbs: widening is an explicit operator decision)
       val httpBind = opt.getOrElse("--http-bind", "127.0.0.1")
