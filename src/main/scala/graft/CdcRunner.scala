@@ -149,9 +149,14 @@ object CdcRunner {
     // "interval" (default) | "interval:<shift>" | "hash": a checkpoint's
     // stateful-dedup plan is baked in at first start — pass
     // `--dedup-impl hash` to resume a checkpoint created before the
-    // interval/bitmap dedup became default, or `interval:20` for
-    // byte-stride WALs (bigger buckets → less state per WAL byte; the
-    // shift is checkpoint-locked like the partition count).
+    // interval/bitmap dedup became default, or `interval:<shift>` to
+    // retune the bucket width (checkpoint-locked like the partition
+    // count). Measured guidance (BENCH.md round 6): over DENSELY
+    // traversed offset ranges total bitmap bytes are range/8 at ANY
+    // shift, and a HIGHER shift is strictly worse when offsets scatter
+    // (each stray lsn pays a whole 2^shift/8-byte bucket) — so keep the
+    // default unless per-row store overhead dominates; the real bound on
+    // byte-stride WAL state is the /rebase retirement path, not shift.
     val dedupImpl = opt.getOrElse("--dedup-impl", "interval")
     // inline maintenance cadence (compact + vacuum every N batches on the
     // commit thread); 0 = off. --vacuum-grace-ms shortens the orphan
