@@ -19,15 +19,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * integer confined, per time window, to a narrow moving range. Events are
   * grouped by lsn range-bucket (`lsn >>> shift`, default 2^14 lsns per
   * bucket) with `flatMapGroupsWithState`, and each bucket's seen-set is a
-  * FIXED 2 KiB BITMAP over the bucket's 2^14 lsn slots (a roaring-style
-  * always-dense container). An event is emitted iff its bit was unset.
-  * State is exact for ARBITRARY lsn distributions — dense runs, strided
-  * sequences (a run-length/interval encoding degenerates to O(events) the
-  * moment lsns have a stride > 1, e.g. this engine's even-data/odd-ddl
-  * convention, or real WALs whose offsets advance by record bytes), and
-  * sparse stragglers all cost the same 2 KiB per touched bucket:
-  * O(lsn-range / 2^shift) total, ~0.13 B per possible lsn, vs ~300 B per
-  * event. A 16M-event batch's state drops from ~5 GB to a few MB.
+  * roaring-style ADAPTIVE CONTAINER over the bucket's 2^shift lsn slots
+  * (see [[BucketState]]): a sorted slot array while sparse, a bitmap — a
+  * fixed 2 KiB at the default shift — from the size crossover on. An
+  * event is emitted iff its slot was unseen. State is exact for ARBITRARY
+  * lsn distributions — dense runs, strided sequences (a
+  * run-length/interval encoding degenerates to O(events) the moment lsns
+  * have a stride > 1, e.g. this engine's even-data/odd-ddl convention, or
+  * real WALs whose offsets advance by record bytes), and stray stragglers
+  * far from the window (which cost ~8 B each, not a whole bucket):
+  * O(lsn-range / 2^shift) total for dense traversal, ~0.13 B per possible
+  * lsn, vs ~300 B per event. A 16M-event batch's state drops from ~5 GB
+  * to a few MB.
   *
   * Semantics: an event is emitted iff its lsn was not seen before. State
   * uses NO timeout, deliberately:
@@ -66,10 +69,87 @@ object IntervalDedup {
     */
   val DefaultShift = 14
 
-  /** Per-bucket seen-set: fixed bitmap, one bit per lsn slot in the
-    * bucket's `[key << shift, (key+1) << shift)` range.
+  /** Per-bucket seen-set over the bucket's `[key << shift,
+    * (key+1) << shift)` lsn range, in one of two roaring-style container
+    * encodings discriminated by ARRAY LENGTH (so the round-4/5 dense
+    * checkpoints decode unchanged):
+    *
+    *   - dense: `words.length == nWords` — the fixed bitmap, one bit per
+    *     lsn slot (what every pre-round-6 checkpoint holds).
+    *   - sparse: `words.length < nWords` — a strictly-increasing array of
+    *     the SET SLOT VALUES themselves. Used while popcount < nWords,
+    *     i.e. exactly while 8 bytes/slot undercuts the bitmap.
+    *
+    * Why: measured in BENCH.md round 6, stray lsns far from the dense
+    * WAL window (long-lived transactions, hot-key tails) each paid a
+    * whole 2^shift/8-byte bitmap — 2 KiB per stray at shift 14, 128 KiB
+    * at shift 20 (~10× the total state on the stride-64 workload). With
+    * the adaptive container a stray bucket costs ~8 bytes + row overhead
+    * at ANY shift, and a bucket promotes to the bitmap precisely when
+    * the bitmap becomes the smaller encoding. Demotion never happens
+    * (bits are never cleared). Dense-range state is unchanged:
+    * steady-traversal buckets cross the threshold in their first or
+    * second batch and live as bitmaps exactly as before.
     */
   case class BucketState(words: Array[Long])
+
+  /** Expand a stored container to a mutable full bitmap (always a fresh
+    * array — the store may hand back the object it retains for the prior
+    * version). Loud on anything that is neither a valid dense nor a valid
+    * sparse container for THIS shift: a checkpoint written under a larger
+    * shift arrives as a too-long array; one written under a smaller shift
+    * arrives as a shorter array that can only masquerade as sparse by
+    * being strictly increasing AND entirely within this shift's slot
+    * range — vanishingly unlikely for real bitmap words, and checked.
+    */
+  private[graft] def decode(arr: Array[Long], nWords: Int, shift: Int): Array[Long] = {
+    val mismatch = s"dedup state was checkpointed with a different shift " +
+      s"or is corrupt (container length ${arr.length}, bitmap words $nWords); " +
+      "resume with the original shift or start a fresh checkpoint (/rebase)"
+    if (arr.length == nWords) arr.clone()
+    else {
+      require(arr.length < nWords, mismatch)
+      val max = 1L << shift
+      val words = new Array[Long](nWords)
+      var i = 0
+      var prev = -1L
+      while (i < arr.length) {
+        val slot = arr(i)
+        require(slot > prev && slot < max, mismatch)
+        prev = slot
+        words((slot >>> 6).toInt) |= 1L << (slot & 63)
+        i += 1
+      }
+      words
+    }
+  }
+
+  /** Store a bitmap in its smaller encoding: the sorted slot array while
+    * popcount < nWords (strictly fewer bytes than the bitmap), the bitmap
+    * itself from the crossover on.
+    */
+  private[graft] def encode(words: Array[Long], nWords: Int): Array[Long] = {
+    var pc = 0
+    var i = 0
+    while (i < nWords) { pc += java.lang.Long.bitCount(words(i)); i += 1 }
+    if (pc >= nWords) words
+    else {
+      val slots = new Array[Long](pc)
+      var k = 0
+      i = 0
+      while (i < nWords) {
+        var w = words(i)
+        while (w != 0L) {
+          val bit = java.lang.Long.numberOfTrailingZeros(w)
+          slots(k) = (i.toLong << 6) | bit
+          k += 1
+          w &= w - 1
+        }
+        i += 1
+      }
+      slots
+    }
+  }
 
   /** Attach the dedup stage to a streaming DataFrame of change events. The
     * input must NOT carry an event-time watermark — this stage never drops
@@ -93,19 +173,11 @@ object IntervalDedup {
       .flatMapGroupsWithState[BucketState, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, rows: Iterator[Row], state: GroupState[BucketState]) =>
-          // clone before mutating: the store may hand back the object it
-          // retains for the prior version; state only changes via update()
+          // decode expands either container to a fresh full bitmap and
+          // fails loudly on a different-shift checkpoint (see decode doc);
+          // state only changes via update()
           val words = state.getOption match {
-            case Some(st) =>
-              // a checkpoint stores bitmaps sized for ITS shift — resuming
-              // under a different shift would silently mis-map lsns to
-              // bits (dropping fresh events) or crash on out-of-range
-              // slots; fail loudly with the remedy instead
-              require(st.words.length == nWords,
-                s"dedup state was checkpointed with a different shift " +
-                  s"(stored ${st.words.length} words, expected $nWords); " +
-                  "resume with the original shift or start a fresh checkpoint")
-              st.words.clone()
+            case Some(st) => decode(st.words, nWords, shift)
             case None => new Array[Long](nWords)
           }
           val out = new scala.collection.mutable.ArrayBuffer[Row]()
@@ -121,7 +193,7 @@ object IntervalDedup {
               out += r
             }
           }
-          if (changed) state.update(BucketState(words))
+          if (changed) state.update(BucketState(encode(words, nWords)))
           out.iterator
       }
     deduped.toDF(schema.fieldNames.toIndexedSeq: _*)

@@ -59,6 +59,79 @@ class IntervalSetSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("adaptive container codec: sparse/dense roundtrip, crossover, " +
+    "legacy dense passthrough, loud rejects") {
+    val shift = 10 // 16 words, 1024 slots — cheap exhaustive-ish coverage
+    val nWords = 1 << (shift - 6)
+    val rnd = new scala.util.Random(11)
+    // roundtrip at every density regime incl. the exact crossover
+    for (pc <- Seq(0, 1, 2, nWords - 1, nWords, nWords + 1, 200, 1024)) {
+      val slots = rnd.shuffle((0 until 1024).toList).take(pc)
+      val words = new Array[Long](nWords)
+      slots.foreach(s => words(s >>> 6) |= 1L << (s & 63))
+      val enc = IntervalDedup.encode(words, nWords)
+      if (pc < nWords)
+        assert(enc.length == pc && enc.sameElements(
+          slots.map(_.toLong).sorted), s"pc=$pc should encode sparse")
+      else
+        assert(enc.length == nWords, s"pc=$pc should stay dense")
+      assert(IntervalDedup.decode(enc, nWords, shift).sameElements(words),
+        s"roundtrip broke at pc=$pc")
+    }
+    // legacy dense containers (every pre-round-6 checkpoint) decode to a
+    // CLONE — mutating the result must not reach the stored array
+    val legacy = Array.fill(nWords)(rnd.nextLong())
+    val dec = IntervalDedup.decode(legacy, nWords, shift)
+    assert(dec.sameElements(legacy))
+    dec(0) ^= -1L
+    assert(!dec.sameElements(legacy))
+    // rejects: a larger-shift checkpoint (too long), an unsorted sparse
+    // array (e.g. a smaller-shift bitmap masquerading), an out-of-range
+    // slot — each loud, each naming the remedy
+    for (bad <- Seq(
+      new Array[Long](nWords * 2),
+      Array(5L, 3L),          // not strictly increasing
+      Array(0L, 0L),          // duplicate (a two-zero-word bitmap shape)
+      Array(3L, 1024L))) {    // slot beyond this shift's range
+      val e = intercept[IllegalArgumentException] {
+        IntervalDedup.decode(bad, nWords, shift)
+      }
+      assert(e.getMessage.contains("different shift"),
+        s"container ${bad.toList} must be rejected loudly")
+    }
+  }
+
+  test("stray stragglers live as sparse containers across batches") {
+    // stray lsns far from the dense window each pay ~one slot, not a
+    // bucket bitmap — and their dedup still holds across micro-batches
+    // (decode(sparse) -> update -> encode(sparse) every trigger)
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[graft.model.ChangeEvent]
+    val q = IntervalDedup.stage(ms.toDF(), shift = 14)
+      .writeStream.format("memory").queryName("ivd_stray_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ivdstray").toString)
+      .start()
+    def ev(lsn: Long) = graft.model.ChangeEvent(lsn, 0, s"c$lsn", 0, "user",
+      "t", null, new java.sql.Timestamp(1704067200000L + lsn), false, 1L, null)
+    try {
+      val strays = Seq(1L << 40, (1L << 40) + 2, 1L << 50, (1L << 60) + 64)
+      ms.addData(strays.map(ev): _*)
+      q.processAllAvailable()
+      // full redelivery + one fresh neighbor per stray bucket
+      ms.addData((strays ++ strays.map(_ + 6)).map(ev): _*)
+      q.processAllAvailable()
+      val out = spark.table("ivd_stray_out").select("lsn").as[Long]
+        .collect().sorted.toSeq
+      assert(out == (strays ++ strays.map(_ + 6)).sorted,
+        "stray redelivery must collapse; fresh neighbors must emit")
+    } finally q.stop()
+  }
 }
 
 /** End-to-end pipeline runs with the interval dedup as the transport stage:
