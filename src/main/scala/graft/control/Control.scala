@@ -79,6 +79,18 @@ trait EngineControl {
   def close(): Unit
 }
 
+/** Memoized dedup-state size, shared by both control planes: `progressTs`
+  * keys the memo to the micro-batch that last committed (state only moves
+  * per batch), `epoch` guards against publishing a size computed across a
+  * concurrent rebase's checkpoint drop.
+  */
+private[control] case class StateBytesMemo(
+    bytes: Long, expiresAt: Long, progressTs: Long, epoch: Long)
+
+private[control] object StateBytesMemo {
+  val invalid: StateBytesMemo = StateBytesMemo(-1L, 0L, -1L, -1L)
+}
+
 /** Checkpoint-dir helpers shared by both control planes. */
 private[control] object CheckpointOps {
   import org.apache.hadoop.fs.Path
@@ -217,6 +229,7 @@ final class Control(
   def pause(): Unit = synchronized {
     query.foreach(_.stop())
     query = None
+    stateBytesMemo = StateBytesMemo.invalid
   }
 
   // surfaced as status().state while drain() holds the control lock (the
@@ -237,7 +250,10 @@ final class Control(
       dedupImpl = dedupImpl,
       backfillGate = () => !snapshotPausedFlag,
       maintenance = maintenance)
-    finally drainingFlag = false
+    finally {
+      drainingFlag = false
+      stateBytesMemo = StateBytesMemo.invalid
+    }
   }
 
   def stop(): Unit = pause()
@@ -293,22 +309,35 @@ final class Control(
     require(lake.snapshot().endLsn >= 0,
       "refusing to rebase: the lake has no applied position " +
         "(nothing would guard replayed events)")
+    stateEpoch += 1 // in-flight polls must not publish a pre-drop size
     CheckpointOps.dropCheckpoint(spark, checkpointDir)
-    stateBytesMemo = (-1L, 0L) // the next status() must see the drop
+    stateBytesMemo = StateBytesMemo.invalid
   }
 
   // /status may be polled at dashboard frequency, and a recursive listing
   // of a multi-GB state dir per poll is real I/O against object storage —
-  // memoize for a few seconds (state size moves per micro-batch, not per
-  // poll); rebase invalidates so the drop is immediately visible
-  @volatile private var stateBytesMemo: (Long, Long) = (-1L, 0L)
+  // memoize for a few seconds. State only changes when a micro-batch
+  // commits, so the memo key also carries the latest progress timestamp: a
+  // fresh batch invalidates immediately instead of serving a stale size
+  // for up to 5 s (drain()/pause() invalidate too — their final batches'
+  // listener events may still be in flight). `stateEpoch` closes the
+  // rebase race: a poll that began its listing before rebaseCheckpoint's
+  // delete publishes into the OLD epoch and is discarded, so /status can
+  // never report the pre-rebase size (or rebaseRecommended=true) after a
+  // successful rebase.
+  @volatile private var stateEpoch: Long = 0L
+  @volatile private var stateBytesMemo: StateBytesMemo = StateBytesMemo.invalid
   private def dedupStateBytesNow(): Long = {
     val now = System.currentTimeMillis()
-    val (v, exp) = stateBytesMemo
-    if (v >= 0 && now < exp) v
+    val prog = metrics.latest.map(_.tsMs).getOrElse(-1L)
+    val epoch = stateEpoch
+    val m = stateBytesMemo
+    if (m.bytes >= 0 && now < m.expiresAt && prog == m.progressTs &&
+        epoch == m.epoch) m.bytes
     else {
       val b = CheckpointOps.stateBytes(spark, checkpointDir)
-      stateBytesMemo = (b, now + 5000L)
+      if (stateEpoch == epoch)
+        stateBytesMemo = StateBytesMemo(b, now + 5000L, prog, epoch)
       b
     }
   }

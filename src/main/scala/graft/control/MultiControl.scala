@@ -55,6 +55,7 @@ final class MultiControl(
   def pause(): Unit = synchronized {
     query.foreach(_.stop())
     query = None
+    stateBytesMemo = StateBytesMemo.invalid
   }
 
   def stop(): Unit = pause()
@@ -66,7 +67,10 @@ final class MultiControl(
       filesPerTrigger, availableNow = true,
       transportDedup = transportDedup, dedupImpl = dedupImpl,
       maintenance = maintenance).awaitTermination()
-    finally drainingFlag = false
+    finally {
+      drainingFlag = false
+      stateBytesMemo = StateBytesMemo.invalid
+    }
   }
 
   def reload(newMaxFilesPerTrigger: Option[Int] = None): Unit = synchronized {
@@ -103,20 +107,26 @@ final class MultiControl(
     require(lakes.values.forall(_.snapshot().endLsn >= 0),
       "refusing to rebase: a destination lake has no applied position " +
         "(nothing would guard its replayed events)")
+    stateEpoch += 1 // in-flight polls must not publish a pre-drop size
     CheckpointOps.dropCheckpoint(spark, checkpointDir)
-    stateBytesMemo = (-1L, 0L) // the next status() must see the drop
+    stateBytesMemo = StateBytesMemo.invalid
   }
 
-  // same memo as Control: /status polls must not pay a recursive state-dir
-  // listing each; rebase invalidates
-  @volatile private var stateBytesMemo: (Long, Long) = (-1L, 0L)
+  // same memo discipline as Control: keyed on the latest batch progress,
+  // epoch-guarded against the rebase race, invalidated by pause/drain
+  @volatile private var stateEpoch: Long = 0L
+  @volatile private var stateBytesMemo: StateBytesMemo = StateBytesMemo.invalid
   private def dedupStateBytesNow(): Long = {
     val now = System.currentTimeMillis()
-    val (v, exp) = stateBytesMemo
-    if (v >= 0 && now < exp) v
+    val prog = metrics.latest.map(_.tsMs).getOrElse(-1L)
+    val epoch = stateEpoch
+    val m = stateBytesMemo
+    if (m.bytes >= 0 && now < m.expiresAt && prog == m.progressTs &&
+        epoch == m.epoch) m.bytes
     else {
       val b = CheckpointOps.stateBytes(spark, checkpointDir)
-      stateBytesMemo = (b, now + 5000L)
+      if (stateEpoch == epoch)
+        stateBytesMemo = StateBytesMemo(b, now + 5000L, prog, epoch)
       b
     }
   }

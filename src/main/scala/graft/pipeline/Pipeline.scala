@@ -85,8 +85,10 @@ object Pipeline {
     *     interval-compressed state, O(lsn-range buckets) instead of
     *     O(events-in-watermark); the 10^10-event-scale configuration.
     *     "interval:N" overrides the bucket shift (lsns per bitmap bucket =
-    *     2^N): byte-stride WALs want a LARGER shift so state per covered
-    *     WAL byte shrinks (the stride-64 sizing in BENCH.md). The shift is
+    *     2^N). Measured guidance (BENCH.md round 6): under the adaptive
+    *     sparse/dense container, total state is ~range/8 bytes at ANY
+    *     shift, so the shift is a state-row-count/parallelism knob only —
+    *     the state-size bound is /rebase, not shift. The shift is
     *     checkpoint-locked like the state partition count — resuming under
     *     a different one fails loudly (IntervalDedup's word-count guard).
     *   - "hash": `dropDuplicatesWithinWatermark("lsn")` — Spark's built-in

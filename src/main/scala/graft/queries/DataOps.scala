@@ -748,11 +748,6 @@ object DataOps {
 
   // ------------------------------------------------------ text analysis
 
-  private def occurrences(textCol: String, needle: String) = {
-    val t = concat(lit(" "), col(textCol), lit(" "))
-    (length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(needle), ""))) / needle.length
-  }
-
   /** Language-ID by stopword-marker frequency (n-gram heuristic). The
     * argmax is a fixed-order CASE over greatest() — deterministic ties.
     */

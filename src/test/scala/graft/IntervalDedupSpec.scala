@@ -117,8 +117,11 @@ class IntervalSetSpec extends AnyFunSuite {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("ivdstray").toString)
       .start()
+    // bounded ts: a stray lsn near 2^60 must not overflow millisToMicros
+    // while encoding the fixture row (the operator reads only `lsn`)
     def ev(lsn: Long) = graft.model.ChangeEvent(lsn, 0, s"c$lsn", 0, "user",
-      "t", null, new java.sql.Timestamp(1704067200000L + lsn), false, 1L, null)
+      "t", null, new java.sql.Timestamp(1704067200000L + (lsn & 0xffffffL)),
+      false, 1L, null)
     try {
       val strays = Seq(1L << 40, (1L << 40) + 2, 1L << 50, (1L << 60) + 64)
       ms.addData(strays.map(ev): _*)
@@ -273,10 +276,12 @@ class IntervalDedupSpec extends SparkSpec {
 
   test("shift 20: checkpoint-locked — mismatched resume fails actionably, " +
       "matching resume stays exact") {
-    // byte-stride WALs want a bigger bucket (interval:20 = 2^20 lsns per
-    // 128 KiB bitmap); the shift is baked into the checkpointed state like
-    // the partition count, so a resume under the DEFAULT shift must fail
-    // with the remedy, and a matching resume must keep replay equality
+    // interval:20 = 2^20 lsns per bucket — a state-row-count/parallelism
+    // knob only (BENCH.md round 6: the adaptive container holds total
+    // state at ~range/8 at ANY shift); the shift is baked into the
+    // checkpointed state like the partition count, so a resume under the
+    // DEFAULT shift must fail with the remedy, and a matching resume must
+    // keep replay equality
     val cfg = GenConfig(seed = 41, numConvs = 40, eventsPerConv = 20)
     val events = BinlogGen.events(cfg)
     val firstHalf = events.filter(_.lsn < events(events.size / 2).lsn)
