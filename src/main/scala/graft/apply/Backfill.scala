@@ -113,7 +113,12 @@ object Backfill {
     val t0 = System.currentTimeMillis()
     val snap = lake.snapshot()
     val payload = Schemas.payloadCols(snap.schema)
-    // shape like a LWW-reduced batch: full rows, every column carried
+    // shape like a LWW-reduced batch: full rows, every column carried.
+    // Persisted for the commit's duration: the chunk fold (a source select
+    // + LWW reduce) would otherwise run TWICE — once under the touched-
+    // bucket pre-scan and again under the merge write (round-7 profile:
+    // two full chunk folds per chunk commit). Bounded by chunk size — the
+    // chunker's job is exactly to keep this small.
     val ups = chunkRows
       .select((Schemas.keys ++ payload).map(c =>
         col(c).cast(snap.schema(c).dataType).as(c)): _*)
@@ -122,25 +127,31 @@ object Backfill {
       .select(
         (Schemas.keys ++ Seq("lsn", "op") ++ payload).map(col) ++
           payload.map(c => lit(true).as(s"${c}__carried")): _*)
-    val touched = ups
-      .select(collect_set(lake.bucketExpr(snap.numBuckets)).as("b"))
-      .head().getSeq[Int](0).toSet
-    if (touched.isEmpty)
-      return lake.commitBackfillProgress(snap, snap.backfillDone + 1)
-    val (result, obs) = MergeApply.mergeRows(spark, lake, snap, ups, touched,
-      snap.schema, payload, chunkTieWins = true)
-    lake.commitRewrite(spark, snap, touched, result,
-      batchId = snap.batchId,       // chunk commits don't consume batch ids
-      endLsn = -1L,                 // ...nor advance the stream position
-      lineage = LineageEntry(snap.batchId, lwLsn, lwLsn, 0, 0, 0, 0, Map.empty),
-      backfillDone = Some(snap.backfillDone + 1),
-      lineageFn = Some { () =>
-        val m = obs.get
-        LineageEntry(snap.batchId, lwLsn, lwLsn,
-          m("ins").asInstanceOf[Long], m("upd").asInstanceOf[Long],
-          m("del").asInstanceOf[Long],
-          System.currentTimeMillis() - t0, Map.empty)
-      })
+      .persist()
+    try {
+      val touched = ups
+        .select(collect_set(lake.bucketExpr(snap.numBuckets)).as("b"))
+        .head().getSeq[Int](0).toSet
+      if (touched.isEmpty)
+        return lake.commitBackfillProgress(snap, snap.backfillDone + 1)
+      val (result, obs) = MergeApply.mergeRows(spark, lake, snap, ups, touched,
+        snap.schema, payload, chunkTieWins = true)
+      lake.commitRewrite(spark, snap, touched, result,
+        batchId = snap.batchId,     // chunk commits don't consume batch ids
+        endLsn = -1L,               // ...nor advance the stream position
+        lineage = LineageEntry(snap.batchId, lwLsn, lwLsn, 0, 0, 0, 0, Map.empty),
+        backfillDone = Some(snap.backfillDone + 1),
+        lineageFn = Some { () =>
+          val m = obs.get
+          LineageEntry(snap.batchId, lwLsn, lwLsn,
+            m("ins").asInstanceOf[Long], m("upd").asInstanceOf[Long],
+            m("del").asInstanceOf[Long],
+            System.currentTimeMillis() - t0, Map.empty)
+        })
+    } finally {
+      ups.unpersist()
+      ()
+    }
   }
 
   /** Run the next pending chunk, if any. Returns true if a chunk ran.

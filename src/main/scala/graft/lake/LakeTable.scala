@@ -399,15 +399,23 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
 
   /** Write `df` (rows of `schema` + any extra helper cols dropped here) as
     * per-bucket parquet files; returns the new file entries plus per-bucket
-    * row counts and min tombstone lsns. The stats come from a FOLLOW-UP
-    * groupBy job over the just-written files — a 3-column columnar scan of
-    * page-cache-hot data — NOT from inline `observe` aggregates: per-bucket
-    * observe expressions evaluate O(numBuckets) conditional aggregates on
-    * EVERY row of the write path, which at the 10^4-10^5 buckets a 100 TB
-    * table wants would put tens of thousands of branch evaluations into
-    * the hot loop. The scan is O(rows) regardless of bucket count. One
-    * shuffle, partitioned by bucket, so each task writes one bucket
-    * directory.
+    * row counts and min tombstone lsns. One shuffle, partitioned by bucket,
+    * so each task writes one bucket directory.
+    *
+    * Stats path is bucket-count-adaptive (guide §1/§2: derive the plan from
+    * the data, don't pay a fixed tax):
+    *   - numBuckets ≤ [[LakeTable.observeStatsMaxBuckets]] (default 64):
+    *     per-bucket count/tomb-min ride the WRITE job as `observe`
+    *     aggregates — ~2·numBuckets cheap conditional aggregates per row,
+    *     zero extra Spark jobs per commit (the round-6 profile showed the
+    *     follow-up stats scan costing one full job + a parquet re-read per
+    *     commit, ~1/3 of every commit's job count);
+    *   - wider tables fall back to the FOLLOW-UP groupBy scan over the
+    *     just-written files (a pruned 2-column columnar read of page-cache-
+    *     hot data): per-bucket observe expressions at the 10^4-10^5 buckets
+    *     a 100 TB table wants would put tens of thousands of branch
+    *     evaluations into the write hot loop, while the scan stays O(rows)
+    *     regardless of bucket count.
     *
     * Files land under a commit-unique directory and keep the final names
     * Spark gave them — no driver rename pass (serial at 10^4-10^5 files, and
@@ -427,33 +435,64 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
       spark.sessionState.conf.numShufflePartitions))
     val hasAudit = schema.fieldNames.contains("_op") &&
       schema.fieldNames.contains("_lsn")
-    df.select(cols: _*)
+    val prepared = df.select(cols: _*)
+    val useObserve = numBuckets <= LakeTable.observeStatsMaxBuckets
+    val statsObs = if (useObserve) Some(new org.apache.spark.sql.Observation())
+      else None
+    val toWrite = statsObs.fold(prepared) { obs =>
+      val aggs = (0 until numBuckets).flatMap { b =>
+        count(when(col("_bucket") === b, 1)).as(s"n$b") +: (
+          if (hasAudit)
+            Seq(min(when(col("_bucket") === b && col("_op") === 2,
+              col("_lsn"))).as(s"t$b"))
+          else Seq.empty)
+      }
+      prepared.observe(obs, aggs.head, aggs.tail: _*)
+    }
+    toWrite
       .repartition(parts, col("_bucket"))
       .write.partitionBy("_bucket").mode("overwrite")
       .parquet(out.toString)
-    // per-bucket row counts + min tombstone lsn (the compaction
-    // dirty-bucket index) from the written files: `_bucket` is recovered
-    // as the partition column, `_op`/`_lsn` are a pruned 2-column read
-    val statCols =
-      if (hasAudit)
-        Seq(count(lit(1)).as("n"),
-          min(when(col("_op") === 2, col("_lsn"))).as("tomb"))
-      else Seq(count(lit(1)).as("n"), lit(null).cast("long").as("tomb"))
-    // a zero-row write leaves no _bucket= dirs (nothing to read or track)
-    val hasData = fs.exists(out) &&
-      fs.listStatus(out).exists(_.getPath.getName.startsWith("_bucket="))
-    val stats =
-      if (hasData)
-        spark.read.parquet(out.toString)
-          .groupBy(col("_bucket").cast("int").as("b"))
-          .agg(statCols.head, statCols.tail: _*)
-          .collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    val rowsByBucket = stats
-      .map(r => r.getInt(0) -> r.getLong(1)).filter(_._2 > 0).toMap
-    val tombMinByBucket = stats
-      .flatMap(r => if (r.isNullAt(2)) None else Some(r.getInt(0) -> r.getLong(2)))
-      .toMap
+    // An EMPTY write can lose its CollectMetrics node to
+    // PropagateEmptyRelation (the observation then completes with an empty
+    // row) — empty input ⇒ empty stats, correct by construction. A missing
+    // metric on a NON-empty write falls through to the follow-up scan.
+    val observed = statsObs.map(_.get).filter(_.contains("n0"))
+    val (rowsByBucket, tombMinByBucket) = observed match {
+      case Some(m) =>
+        val rows = (0 until numBuckets)
+          .map(b => b -> m(s"n$b").asInstanceOf[Long])
+          .filter(_._2 > 0).toMap
+        val tomb =
+          if (!hasAudit) Map.empty[Int, Long]
+          else (0 until numBuckets).flatMap { b =>
+            Option(m(s"t$b")).map(v => b -> v.asInstanceOf[Long])
+          }.toMap
+        (rows, tomb)
+      case None =>
+        // per-bucket row counts + min tombstone lsn (the compaction
+        // dirty-bucket index) from the written files: `_bucket` is
+        // recovered as the partition column, `_op`/`_lsn` a pruned read
+        val statCols =
+          if (hasAudit)
+            Seq(count(lit(1)).as("n"),
+              min(when(col("_op") === 2, col("_lsn"))).as("tomb"))
+          else Seq(count(lit(1)).as("n"), lit(null).cast("long").as("tomb"))
+        // a zero-row write leaves no _bucket= dirs (nothing to read)
+        val hasData = fs.exists(out) &&
+          fs.listStatus(out).exists(_.getPath.getName.startsWith("_bucket="))
+        val stats =
+          if (hasData)
+            spark.read.parquet(out.toString)
+              .groupBy(col("_bucket").cast("int").as("b"))
+              .agg(statCols.head, statCols.tail: _*)
+              .collect()
+          else Array.empty[org.apache.spark.sql.Row]
+        (stats.map(r => r.getInt(0) -> r.getLong(1)).filter(_._2 > 0).toMap,
+          stats.flatMap(r =>
+            if (r.isNullAt(2)) None else Some(r.getInt(0) -> r.getLong(2)))
+            .toMap)
+    }
     val entries = fs.listStatus(out).filter(_.isDirectory).toSeq.flatMap { bd =>
       val b = bd.getPath.getName.stripPrefix("_bucket=").toInt
       fs.listStatus(bd.getPath).toSeq
@@ -790,8 +829,21 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
 }
 
 object LakeTable {
-  def apply(spark: SparkSession, root: String): LakeTable =
+  def apply(spark: SparkSession, root: String): LakeTable = {
+    graft.model.SessionTuning.tune(spark)
     new LakeTable(root, spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** Bucket-count ceiling for the zero-extra-job observe stats path in
+    * `writeDataFiles` (~2·numBuckets conditional aggregates per written
+    * row); wider tables use the follow-up stats scan. Parameterised
+    * (system property first — runtime-settable for tests — then env) so a
+    * deployment can tune where the crossover sits on its hardware.
+    */
+  def observeStatsMaxBuckets: Int =
+    sys.props.get("graft.lake.observeStatsMaxBuckets")
+      .orElse(sys.env.get("SPARK_GRAFT_OBSERVE_STATS_MAX_BUCKETS"))
+      .fold(64)(_.toInt)
 }
 
 /** Line-oriented snapshot codec. Schemas serialize via Spark's own

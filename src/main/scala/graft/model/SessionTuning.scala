@@ -1,0 +1,28 @@
+package graft.model
+
+import org.apache.spark.sql.SparkSession
+
+/** Session tuning the engine's own operators apply (library-level, not the
+  * bench harness): settings whose defaults are tuned for plan-stability
+  * rather than performance and that are safe — and beneficial — at every
+  * scale this engine targets.
+  */
+object SessionTuning {
+
+  /** Let AQE pick the output partitioning of cached plans
+    * (`spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`, default
+    * false): every persisted frame in this engine (merge inputs, LSH band /
+    * candidate caches, shingle tables) is otherwise materialized at the raw
+    * `spark.sql.shuffle.partitions` constant, and every downstream stage
+    * pays one task per cached partition regardless of data size. With the
+    * flag on, cache materialization goes through AQE's size-adaptive
+    * coalescing (guide §2.2: fewer, larger partitions derived from bytes,
+    * not a constant tuned for either local mode or the cluster). Idempotent
+    * and cheap — callers invoke it on every operator entry.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    spark
+  }
+}

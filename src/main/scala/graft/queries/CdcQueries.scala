@@ -26,7 +26,8 @@ object CdcQueries {
     * src/source/converter.rs:18-135).
     */
   def envelope(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.model.SessionTuning.tune(spark)
+      .read.parquet(s"$sfDir/events.parquet")
     val op = when(col("event_type") === "signup", lit(0))
       .when(col("event_type") === "error", lit(2))
       .otherwise(lit(1))

@@ -31,9 +31,11 @@ object DataOps {
   }
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.model.SessionTuning.tune(spark)
+      .read.parquet(s"$sfDir/documents.parquet")
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.model.SessionTuning.tune(spark)
+      .read.parquet(s"$sfDir/embeddings.parquet")
 
   // ------------------------------------------------------------ dedup
 

@@ -270,4 +270,35 @@ class LakeManifestSpec extends SparkSpec {
     assert(referenced.subsetOf(remaining))
     assert(liveState(lake) == live)
   }
+
+  test("observe-path and scan-path write stats agree exactly " +
+      "(rows + tomb-min per bucket)") {
+    // the round-7 optimization rides per-bucket stats on the write job via
+    // observe when numBuckets <= observeStatsMaxBuckets; the follow-up
+    // scan stays the wide-table path — both must produce the identical
+    // snapshot stats for the same batches (incl. tombstones)
+    def run(root: String): LakeTable = {
+      val lake = LakeTable(spark, root)
+      lake.create(Schemas.transcript, 8)
+      val b0 = (0 until 60).map(i =>
+        ev(2L * i + 2, Op.Insert, f"conv_$i%04d", i % 3, text = s"t$i"))
+      val b1 = (0 until 60 by 7).map(i =>
+        ev(200L + i, Op.Delete, f"conv_$i%04d", i % 3))
+      MergeApply.applyBatch(spark, lake, spark.createDataset(b0).toDF(), 0L)
+      MergeApply.applyBatch(spark, lake, spark.createDataset(b1).toDF(), 1L)
+      lake
+    }
+    val viaObserve = run(tmpDir("statsobs"))
+    val prop = "graft.lake.observeStatsMaxBuckets"
+    System.setProperty(prop, "0") // force the follow-up-scan path
+    val viaScan =
+      try run(tmpDir("statsscan"))
+      finally { System.clearProperty(prop); () }
+    val so = viaObserve.snapshot()
+    val ss = viaScan.snapshot()
+    assert(so.bucketRowCounts == ss.bucketRowCounts)
+    assert(so.bucketTombMinLsn == ss.bucketTombMinLsn)
+    assert(so.bucketRowCounts.nonEmpty && so.bucketTombMinLsn.nonEmpty)
+    assert(liveState(viaObserve) == liveState(viaScan))
+  }
 }
