@@ -38,15 +38,30 @@ object BenchExtra {
     val taskTimeMs = new AtomicLong(0)
     val jobWallMs = new AtomicLong(0)
     val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val perJob = sys.env.get("BENCHX_JOBS").contains("1")
+    val jobDesc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         jobStartNs.put(e.jobId, System.nanoTime())
+        if (perJob) {
+          val d = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(e.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          jobDesc.put(e.jobId, d)
+        }
         ()
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val t0 = jobStartNs.remove(e.jobId)
-        if (t0 != 0L) jobWallMs.addAndGet((System.nanoTime() - t0) / 1000000)
+        if (t0 != 0L) {
+          val ms = (System.nanoTime() - t0) / 1000000
+          jobWallMs.addAndGet(ms)
+          if (perJob)
+            println(f"BENCHXJOB ${e.jobId}%4d ${ms}%6d ms  ${jobDesc.remove(e.jobId)}")
+        }
         ()
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {

@@ -155,6 +155,35 @@ object DataOps {
     * arithmetic end-to-end (exact cross-engine); the intersection join
     * shuffles on (pair, shingle) — still an equi-join, never O(n²).
     */
+  /** Exact n-gram Jaccard (basis points) of LSH candidate `pairs` over the
+    * shingle table `sh` — the shared verify core of [[ngramJaccard]] and
+    * the clustering subtree; no materialization here, callers decide.
+    * `cnt` is pre-filtered to documents that actually appear in a pair
+    * (guide §3.2: reduce the big side before aggregating/joining it —
+    * candidates are a vanishing fraction of the corpus, so counting every
+    * document's shingles would be ~all wasted work at scale).
+    */
+  private def jaccardFrom(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val cnt = sh.join(pairDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    pairs
+      .join(cnt.as("c1"), col("doc_a") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("doc_b") === col("c2.doc_id"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(
+        col("doc_a"), col("doc_b"),
+        expr("(coalesce(i, 0) * 10000) DIV (c1.n + c2.n - coalesce(i, 0))")
+          .as("jaccard_bp"))
+  }
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     releaseLeases()
     // ONE shingle subtree shared by the candidate generator and the exact
@@ -163,21 +192,7 @@ object DataOps {
     val sh = shingles(spark, sfDir).persist()
     try {
       val pairs = lshPairsFrom(sh)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = pairs
-        .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-        .join(sh.as("b"),
-          col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("i"))
-      val out = pairs
-        .join(cnt.as("c1"), col("doc_a") === col("c1.doc_id"))
-        .join(cnt.as("c2"), col("doc_b") === col("c2.doc_id"))
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .select(
-          col("doc_a"), col("doc_b"),
-          expr("(coalesce(i, 0) * 10000) DIV (c1.n + c2.n - coalesce(i, 0))")
-            .as("jaccard_bp"))
+      val out = jaccardFrom(pairs, sh)
         .orderBy("doc_a", "doc_b")
         .persist()
       out.count()
@@ -235,26 +250,34 @@ object DataOps {
     * NOTE: runs ngramJaccard, which releases prior leases.
     */
   private def clusterAssignments(spark: SparkSession, sfDir: String): DataFrame = {
-    val verified = ngramJaccard(spark, sfDir) // releases prior leases
-      .filter(col("jaccard_bp") >= 8000)
-      .select(col("doc_a"), col("doc_b"))
-    val labels = connectedComponents(verified)
-    docs(spark, sfDir).select(col("doc_id"), col("n_chars"))
-      .join(labels.withColumnRenamed("cluster_id", "cid"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"),
-        col("n_chars"))
+    releaseLeases()
+    val sh = shingles(spark, sfDir).persist()
+    try {
+      val pairs = lshPairsFrom(sh)
+      // the verified edge set is consumed exactly once (the CC edges
+      // checkpoint materializes it immediately, while sh/pairs are still
+      // cached), so unlike the standalone ngramJaccard query there is no
+      // extra persist+count round here
+      val verified = jaccardFrom(pairs, sh)
+        .filter(col("jaccard_bp") >= 8000)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = connectedComponents(verified)
+      docs(spark, sfDir).select(col("doc_id"), col("n_chars"))
+        .join(labels.withColumnRenamed("cluster_id", "cid"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+          col("n_chars"))
+    } finally {
+      sh.unpersist()
+      ()
+    }
   }
 
-  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = clusterAssignments(spark, sfDir)
+  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame =
+    clusterAssignments(spark, sfDir)
       .select("doc_id", "cluster_id")
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
       .orderBy("doc_id")
-      .persist()
-    out.count()
-    lease(out)
-  }
 
   /** Keep-best dedup: within each near-dup cluster keep the HIGHEST-
     * quality doc (longest content, doc_id as the deterministic tiebreak) —
@@ -264,7 +287,7 @@ object DataOps {
     */
   def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    val out = clusterAssignments(spark, sfDir)
+    clusterAssignments(spark, sfDir)
       .withColumn("rn", row_number().over(
         w.orderBy(col("n_chars").desc, col("doc_id"))))
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -272,9 +295,6 @@ object DataOps {
       .select(col("cluster_id"), col("doc_id").as("keeper_id"),
         col("cluster_size"), col("n_chars").as("keeper_chars"))
       .orderBy("cluster_id")
-      .persist()
-    out.count()
-    lease(out)
   }
 
   /** Connected components of the undirected graph given as `(doc_a, doc_b)`
@@ -287,8 +307,13 @@ object DataOps {
     * checkpoint — the only driver-side read.
     */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both edge orientations from ONE pass over `pairs` (explode, not
+    // union-of-two-selects: a union references the pair subtree twice and
+    // recomputes it when the caller hands in an un-cached plan)
+    val edges = pairs.select(explode(array(
+      struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+      struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -591,29 +616,42 @@ object DataOps {
     val bandVal = (k: Int) => (0 until 8).map(b =>
       s"(CASE WHEN ${bitDot(k * 8 + b)} >= 0 THEN ${1 << b} ELSE 0 END)")
       .mkString(" + ")
-    val bands = q.withColumn("H", hcol)
-      .select(col("vec_id"), col("q"),
+    // one row per vector with its norm² computed ONCE (not per candidate
+    // pair); the heavy q arrays live only here
+    val qt = q.select(col("vec_id"), col("q"), expr(
+      "aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+      .as("n2"))
+      .persist()
+    // bands carry ONLY (vec_id, band_idx, band_value): the 64-element q
+    // arrays stay out of the 8×-exploded self-join shuffle, and the
+    // candidate distinct compares scalars instead of arrays (guide §8:
+    // decide with small rows, move the heavy payload once)
+    val bands = qt.withColumn("H", hcol)
+      .select(col("vec_id"),
         explode(array((0 until 8).map(k =>
           struct(lit(k).as("k"), expr(bandVal(k)).as("v"))): _*)).as("b"))
-      .select(col("vec_id"), col("q"), col("b.k").as("k"), col("b.v").as("v"))
+      .select(col("vec_id"), col("b.k").as("k"), col("b.v").as("v"))
       .persist()
-    val a = bands.select(col("vec_id").as("id_a"), col("q").as("qa"),
-      col("k"), col("v"))
-    val b = bands.select(col("vec_id").as("id_b"), col("q").as("qb"),
-      col("k"), col("v"))
-    val out = a.join(b, Seq("k", "v")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("qa"), col("qb"))
+    val a = bands.select(col("vec_id").as("id_a"), col("k"), col("v"))
+    val b = bands.select(col("vec_id").as("id_b"), col("k"), col("v"))
+    val cand = a.join(b, Seq("k", "v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several bands
+    // re-attach vectors + norms to the (few) surviving candidates and
+    // score exactly — two equi-joins against the vector table, each
+    // moving q once
+    val out = cand
+      .join(qt.select(col("vec_id").as("id_a"), col("q").as("qa"),
+        col("n2").as("na2")), Seq("id_a"))
+      .join(qt.select(col("vec_id").as("id_b"), col("q").as("qb"),
+        col("n2").as("nb2")), Seq("id_b"))
       .withColumn("dot", expr(
         "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      .withColumn("na2", expr(
-        "aggregate(transform(qa, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      .withColumn("nb2", expr(
-        "aggregate(transform(qb, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .select("id_a", "id_b", "dot", "na2", "nb2")
       .persist()
-    out.count() // materialize while `bands` is still cached
+    out.count() // materialize while `bands`/`qt` are still cached
     bands.unpersist()
+    qt.unpersist()
     lease(out)
   }
 
