@@ -70,37 +70,47 @@ object IntervalDedup {
   val DefaultShift = 14
 
   /** Per-bucket seen-set over the bucket's `[key << shift,
-    * (key+1) << shift)` lsn range, in one of two roaring-style container
-    * encodings discriminated by ARRAY LENGTH (so the round-4/5 dense
-    * checkpoints decode unchanged):
+    * (key+1) << shift)` lsn range, in one of three roaring-style container
+    * encodings (legacy forms decode unchanged):
     *
     *   - dense: `words.length == nWords` — the fixed bitmap, one bit per
     *     lsn slot (what every pre-round-6 checkpoint holds).
-    *   - sparse: `words.length < nWords` — a strictly-increasing array of
-    *     the SET SLOT VALUES themselves. Used while popcount < nWords,
-    *     i.e. exactly while 8 bytes/slot undercuts the bitmap.
+    *   - sparse (self-describing, round-7 writer): `words(0) == -shift`
+    *     (the SENTINEL — slot values are non-negative, so the sign
+    *     discriminates) followed by the strictly-increasing SET SLOT
+    *     VALUES. Used while popcount + 1 < nWords, so a sparse container
+    *     can never collide with the dense length. The embedded shift makes
+    *     a different-shift resume LOUD deterministically — the round-6
+    *     guard was only probabilistic for sparse containers (a sparse
+    *     array from another shift whose slots all fit this shift's range
+    *     decoded silently and mis-mapped lsns).
+    *   - sparse (legacy round-6 writer): `words.length < nWords`,
+    *     non-negative strictly-increasing slot values, no sentinel —
+    *     accepted with the range/order guard (best available for data
+    *     already on disk).
     *
-    * Why: measured in BENCH.md round 6, stray lsns far from the dense
-    * WAL window (long-lived transactions, hot-key tails) each paid a
-    * whole 2^shift/8-byte bitmap — 2 KiB per stray at shift 14, 128 KiB
-    * at shift 20 (~10× the total state on the stride-64 workload). With
-    * the adaptive container a stray bucket costs ~8 bytes + row overhead
-    * at ANY shift, and a bucket promotes to the bitmap precisely when
-    * the bitmap becomes the smaller encoding. Demotion never happens
-    * (bits are never cleared). Dense-range state is unchanged:
-    * steady-traversal buckets cross the threshold in their first or
-    * second batch and live as bitmaps exactly as before.
+    * Why sparse at all: measured in BENCH.md round 6, stray lsns far from
+    * the dense WAL window (long-lived transactions, hot-key tails) each
+    * paid a whole 2^shift/8-byte bitmap — 2 KiB per stray at shift 14,
+    * 128 KiB at shift 20 (~10× the total state on the stride-64
+    * workload). With the adaptive container a stray bucket costs ~8 bytes
+    * + row overhead at ANY shift, and a bucket promotes to the bitmap
+    * precisely when the bitmap becomes the no-larger encoding. Demotion
+    * never happens (bits are never cleared). Dense-range state is
+    * unchanged: steady-traversal buckets cross the threshold in their
+    * first or second batch and live as bitmaps exactly as before.
     */
   case class BucketState(words: Array[Long])
 
   /** Expand a stored container to a mutable full bitmap (always a fresh
     * array — the store may hand back the object it retains for the prior
-    * version). Loud on anything that is neither a valid dense nor a valid
-    * sparse container for THIS shift: a checkpoint written under a larger
-    * shift arrives as a too-long array; one written under a smaller shift
-    * arrives as a shorter array that can only masquerade as sparse by
-    * being strictly increasing AND entirely within this shift's slot
-    * range — vanishingly unlikely for real bitmap words, and checked.
+    * version). Loud on anything that is not a valid container for THIS
+    * shift: a sentinel-carrying sparse container embeds its shift
+    * (deterministic check); a checkpoint written under a larger shift
+    * arrives as a too-long array; a legacy smaller-shift bitmap can only
+    * masquerade as legacy sparse by being strictly increasing AND
+    * entirely within this shift's slot range — vanishingly unlikely for
+    * real bitmap words, and checked.
     */
   private[graft] def decode(arr: Array[Long], nWords: Int, shift: Int): Array[Long] = {
     val mismatch = s"dedup state was checkpointed with a different shift " +
@@ -109,9 +119,12 @@ object IntervalDedup {
     if (arr.length == nWords) arr.clone()
     else {
       require(arr.length < nWords, mismatch)
+      val sentinel = arr.length > 0 && arr(0) < 0
+      if (sentinel) require(arr(0) == -shift.toLong, mismatch)
+      val from = if (sentinel) 1 else 0
       val max = 1L << shift
       val words = new Array[Long](nWords)
-      var i = 0
+      var i = from
       var prev = -1L
       while (i < arr.length) {
         val slot = arr(i)
@@ -124,18 +137,20 @@ object IntervalDedup {
     }
   }
 
-  /** Store a bitmap in its smaller encoding: the sorted slot array while
-    * popcount < nWords (strictly fewer bytes than the bitmap), the bitmap
-    * itself from the crossover on.
+  /** Store a bitmap in its smaller encoding: sentinel + sorted slot array
+    * while `popcount + 1 < nWords` (strictly shorter than the bitmap, so
+    * the dense length stays unambiguous), the bitmap itself from the
+    * crossover on.
     */
-  private[graft] def encode(words: Array[Long], nWords: Int): Array[Long] = {
+  private[graft] def encode(words: Array[Long], nWords: Int, shift: Int): Array[Long] = {
     var pc = 0
     var i = 0
     while (i < nWords) { pc += java.lang.Long.bitCount(words(i)); i += 1 }
-    if (pc >= nWords) words
+    if (pc + 1 >= nWords) words
     else {
-      val slots = new Array[Long](pc)
-      var k = 0
+      val slots = new Array[Long](pc + 1)
+      slots(0) = -shift.toLong // self-describing sentinel (see BucketState)
+      var k = 1
       i = 0
       while (i < nWords) {
         var w = words(i)
@@ -193,7 +208,7 @@ object IntervalDedup {
               out += r
             }
           }
-          if (changed) state.update(BucketState(encode(words, nWords)))
+          if (changed) state.update(BucketState(encode(words, nWords, shift)))
           out.iterator
       }
     deduped.toDF(schema.fieldNames.toIndexedSeq: _*)

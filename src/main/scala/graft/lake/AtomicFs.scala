@@ -28,6 +28,23 @@ final class AtomicFs(fs: FileSystem, conf: Configuration) {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
     }
 
+  /** Atomically REPLACE `target` with `tmp` (Options.Rename.OVERWRITE —
+    * atomic on HDFS/local): for single-slot marker files whose readers
+    * must never observe the slot absent. Where only a bare FileSystem
+    * binding exists, falls back to delete+rename — the narrow
+    * marker-absent crash window the primary path exists to remove.
+    */
+  def renameOverwrite(tmp: Path, target: Path): Unit =
+    fileContext match {
+      case Some(fc) =>
+        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      case None =>
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(
+            s"atomic overwrite-rename failed: $tmp -> $target")
+    }
+
   def renameNoOverwrite(tmp: Path, target: Path): Boolean =
     fileContext match {
       case Some(fc) =>

@@ -23,6 +23,12 @@ object SessionTuning {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set(
       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // Guide §3.1/§9: allow shuffled-hash join where its size conditions
+    // hold instead of always sort-merge — the planner still requires the
+    // build side's per-partition stats to fit
+    // (canBuildLocalHashMapBySize), so a 100 TB merge with a large target
+    // bucket falls back to sort-merge; small/medium joins skip two sorts.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     spark
   }
 }

@@ -133,8 +133,10 @@ object DataOps {
 
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     releaseLeases()
-    val sh = shingles(spark, sfDir).persist()
-    try lshPairsFrom(sh) finally { sh.unpersist(); () }
+    // no sh persist here: unlike ngramJaccard/clusterAssignments, the
+    // shingle subtree has exactly one consumer (the banded signatures),
+    // so caching it is pure materialization overhead
+    lshPairsFrom(shingles(spark, sfDir))
   }
 
   private val lshPairsCoreSql: String =
@@ -315,42 +317,39 @@ object DataOps {
       struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // Round-1 seed: the labels after one neighbor-min step come straight
+    // from ONE aggregation over the edge list — label(v) = min(v, min
+    // neighbor) — replacing the identity-label distinct checkpoint plus a
+    // first-round join against it (3-4 micro-jobs per invocation at bench
+    // scale; one fewer shuffle at any scale). `old_id` is the identity
+    // label, so round-1 change detection is exactly the original's.
+    var stepped = edges.groupBy("src").agg(min("dst").as("m"))
+      .select(col("src").as("doc_id"), col("src").as("old_id"),
+        least(col("src"), col("m")).as("cluster_id"))
       .localCheckpoint(true)
-    // the checkpointed frame whose blocks back `labels` — superseded
-    // frames are unpersisted as soon as the next checkpoint materializes,
-    // so storage stays O(1) rounds, not O(rounds) (ContextCleaner would
-    // only reclaim them after a driver GC)
-    var live: DataFrame = labels
+    // the checkpointed frame whose blocks back `stepped`/`labels` —
+    // superseded frames are unpersisted as soon as the next checkpoint
+    // materializes, so storage stays O(1) rounds, not O(rounds)
+    // (ContextCleaner would only reclaim them after a driver GC)
+    var live: DataFrame = stepped
+    var labels: DataFrame = stepped.select("doc_id", "cluster_id")
     val maxRounds = 25
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       // Each round: (1) neighbor-min — one shuffle equi-join + map-side-
-      // combined min-aggregate; (2) pointer jumping — labels are vertex
-      // ids, so a self-join reads each vertex's LABEL'S label (path
-      // halving). (1) alone converges in O(diameter) rounds — a
-      // chain-shaped component of length L (templated docs with gradual
-      // drift) would need L rounds; with (2) the round count is
-      // O(log diameter), which is what survives adversarial shapes at
-      // corpus scale. Labels only ever decrease and stay inside their
-      // component, so the fixpoint is still the component minimum, and
-      // new < old ⇔ changed — the change flag rides INSIDE the
-      // checkpointed frame and convergence costs one scalar agg over the
-      // materialized checkpoint, not a join of consecutive label frames.
-      val nbrMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy("src").agg(min("cluster_id").as("nbr_min"))
-      val stepped = labels.as("l")
-        .join(nbrMin, col("l.doc_id") === col("src"), "left")
-        .select(col("l.doc_id").as("doc_id"), col("l.cluster_id").as("old_id"),
-          least(col("l.cluster_id"),
-            coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
-      // stepped is materialized: the previous round's backing frame is
-      // no longer referenced by anything downstream
-      live.unpersist()
+      // combined min-aggregate (round 1: the seed aggregation above); (2)
+      // pointer jumping — labels are vertex ids, so a self-join reads each
+      // vertex's LABEL'S label (path halving). (1) alone converges in
+      // O(diameter) rounds — a chain-shaped component of length L
+      // (templated docs with gradual drift) would need L rounds; with (2)
+      // the round count is O(log diameter), which is what survives
+      // adversarial shapes at corpus scale. Labels only ever decrease and
+      // stay inside their component, so the fixpoint is still the
+      // component minimum, and new < old ⇔ changed — the change flag
+      // rides INSIDE the checkpointed frame and convergence costs one
+      // scalar agg over the materialized checkpoint, not a join of
+      // consecutive label frames.
       val next = stepped.as("a")
         .join(stepped.select(col("doc_id").as("jd"), col("cluster_id").as("jc"))
           .as("b"), col("a.cluster_id") === col("jd"), "left")
@@ -360,13 +359,26 @@ object DataOps {
           (least(col("a.cluster_id"), coalesce(col("jc"), col("a.cluster_id")))
             < col("a.old_id")).cast("long").as("_chg"))
         .localCheckpoint(true)
-      stepped.unpersist() // next is materialized; stepped's blocks are dead
+      live.unpersist() // next is materialized; stepped's blocks are dead
       val changed = Option(next.agg(sum("_chg")).first().get(0))
         .fold(0L)(_.asInstanceOf[Long])
       labels = next.select("doc_id", "cluster_id")
       live = next
       converged = changed == 0
       round += 1
+      if (!converged && round < maxRounds) {
+        val nbrMin = edges
+          .join(labels, edges("dst") === labels("doc_id"))
+          .groupBy("src").agg(min("cluster_id").as("nbr_min"))
+        stepped = labels.as("l")
+          .join(nbrMin, col("l.doc_id") === col("src"), "left")
+          .select(col("l.doc_id").as("doc_id"), col("l.cluster_id").as("old_id"),
+            least(col("l.cluster_id"),
+              coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+          .localCheckpoint(true)
+        live.unpersist() // stepped is materialized; next's blocks are dead
+        live = stepped
+      }
     }
     require(converged,
       s"connectedComponents: labels not stable after $maxRounds rounds")

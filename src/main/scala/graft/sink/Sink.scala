@@ -383,8 +383,12 @@ final class RawAppendSink(
     val tmp = new Path(root, s".tmp-nwmark-${UUID.randomUUID().toString.take(8)}")
     val o = fs.create(tmp, true)
     try o.write(bound.toString.getBytes("UTF-8")) finally o.close()
-    fs.delete(nwMarkerPath, false)
-    require(fs.rename(tmp, nwMarkerPath), "normalize watermark refresh failed")
+    // atomic overwrite-rename: the marker slot must never be observed
+    // absent — since quiet lakes no longer get empty commits, the
+    // per-lake MIN fallback is permanently stale, and a crash inside a
+    // delete+rename pair would silently trigger a refold of the entire
+    // compacted history on the next normalize pass
+    atomicFs.renameOverwrite(tmp, nwMarkerPath)
   }
 
   /** Highest batch id every normalized lake has folded (−1 = none): the

@@ -65,20 +65,30 @@ class IntervalSetSpec extends AnyFunSuite {
     val shift = 10 // 16 words, 1024 slots — cheap exhaustive-ish coverage
     val nWords = 1 << (shift - 6)
     val rnd = new scala.util.Random(11)
-    // roundtrip at every density regime incl. the exact crossover
-    for (pc <- Seq(0, 1, 2, nWords - 1, nWords, nWords + 1, 200, 1024)) {
+    // roundtrip at every density regime incl. the exact crossover: the
+    // round-7 self-describing sparse form is sentinel(-shift) + slots and
+    // is used while pc + 1 < nWords (one slot earlier than round 6, so a
+    // sparse container can never collide with the dense length)
+    for (pc <- Seq(0, 1, 2, nWords - 2, nWords - 1, nWords, nWords + 1, 200, 1024)) {
       val slots = rnd.shuffle((0 until 1024).toList).take(pc)
       val words = new Array[Long](nWords)
       slots.foreach(s => words(s >>> 6) |= 1L << (s & 63))
-      val enc = IntervalDedup.encode(words, nWords)
-      if (pc < nWords)
-        assert(enc.length == pc && enc.sameElements(
-          slots.map(_.toLong).sorted), s"pc=$pc should encode sparse")
+      val enc = IntervalDedup.encode(words, nWords, shift)
+      if (pc + 1 < nWords)
+        assert(enc.length == pc + 1 && enc(0) == -shift.toLong &&
+          enc.drop(1).sameElements(slots.map(_.toLong).sorted),
+          s"pc=$pc should encode sentinel-sparse")
       else
         assert(enc.length == nWords, s"pc=$pc should stay dense")
       assert(IntervalDedup.decode(enc, nWords, shift).sameElements(words),
         s"roundtrip broke at pc=$pc")
     }
+    // legacy round-6 sparse containers (no sentinel, strictly-increasing
+    // slots) decode unchanged
+    val legacySparse = Array(3L, 64L, 1000L)
+    val lsDec = IntervalDedup.decode(legacySparse, nWords, shift)
+    assert(Seq(3, 64, 1000).forall(s => (lsDec(s >>> 6) & (1L << (s & 63))) != 0))
+    assert(lsDec.map(java.lang.Long.bitCount).sum == 3)
     // legacy dense containers (every pre-round-6 checkpoint) decode to a
     // CLONE — mutating the result must not reach the stored array
     val legacy = Array.fill(nWords)(rnd.nextLong())
@@ -88,18 +98,24 @@ class IntervalSetSpec extends AnyFunSuite {
     assert(!dec.sameElements(legacy))
     // rejects: a larger-shift checkpoint (too long), an unsorted sparse
     // array (e.g. a smaller-shift bitmap masquerading), an out-of-range
-    // slot — each loud, each naming the remedy
+    // slot, and a sentinel from ANOTHER shift (the round-7 deterministic
+    // guard ADVICE asked for) — each loud, each naming the remedy
     for (bad <- Seq(
       new Array[Long](nWords * 2),
       Array(5L, 3L),          // not strictly increasing
       Array(0L, 0L),          // duplicate (a two-zero-word bitmap shape)
-      Array(3L, 1024L))) {    // slot beyond this shift's range
+      Array(3L, 1024L),       // slot beyond this shift's range
+      Array(-20L, 3L, 9L),    // sentinel says shift 20, we are shift 10
+      Array(-14L))) {         // empty sparse from shift 14
       val e = intercept[IllegalArgumentException] {
         IntervalDedup.decode(bad, nWords, shift)
       }
       assert(e.getMessage.contains("different shift"),
         s"container ${bad.toList} must be rejected loudly")
     }
+    // same-shift sentinel roundtrips (the legit self-describing form)
+    assert(IntervalDedup.decode(Array(-10L, 5L), nWords, shift)
+      .map(java.lang.Long.bitCount).sum == 1)
   }
 
   test("stray stragglers live as sparse containers across batches") {
