@@ -844,6 +844,21 @@ object LakeTable {
     sys.props.get("graft.lake.observeStatsMaxBuckets")
       .orElse(sys.env.get("SPARK_GRAFT_OBSERVE_STATS_MAX_BUCKETS"))
       .fold(64)(_.toInt)
+
+  /** Scale-adaptive bucket count for a new table (guide §2.2/§6: derive
+    * partitioning from input size, not a constant tuned for one scale):
+    * ~`rowsPerBucket` keys per bucket, clamped to [4, 4096] and rounded
+    * up to a power of two. A 10^5-row bench table gets 4 buckets (files
+    * worth opening); a 10^10-key production table gets 4096 (the COW
+    * rewrite and compaction granularity). The count is fixed at table
+    * creation — like Iceberg bucket transforms — so callers size it from
+    * the EXPECTED steady-state key count, not the first batch.
+    */
+  def bucketsFor(estimatedKeys: Long, rowsPerBucket: Long = 50000L): Int = {
+    val raw = math.max(1L, estimatedKeys / math.max(1L, rowsPerBucket))
+    val pow2 = java.lang.Long.highestOneBit(math.max(1L, raw * 2 - 1))
+    math.min(4096L, math.max(4L, pow2)).toInt
+  }
 }
 
 /** Line-oriented snapshot codec. Schemas serialize via Spark's own

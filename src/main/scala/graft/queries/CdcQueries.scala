@@ -213,8 +213,10 @@ object CdcQueries {
       .withColumn("ddl", lit(null).cast("string"))
     val dir = scratchDir("graft-e2e")
     val lake = LakeTable(spark, dir)
-    lake.create(Schemas.transcript, 16)
     val maxLsn = env.agg(max("lsn")).head().getLong(0)
+    // bucket count sized from the stream's lsn range (≈ event count) —
+    // guide §2.2/§6: partitioning derived from input size, not a constant
+    lake.create(Schemas.transcript, LakeTable.bucketsFor(maxLsn))
     val step = math.max(1L, maxLsn / 4 + 1)
     for (i <- 0 until 4) {
       val b = env.filter(col("lsn") >= i * step && col("lsn") < (i + 1) * step)
@@ -250,8 +252,8 @@ object CdcQueries {
       val payloadTs = Seq("role", "text", "tool", "ts")
       val dir = scratchDir("graft-backfill")
       val lake = LakeTable(spark, dir)
-      lake.create(Schemas.transcript, 16)
       val maxLsn = env.agg(max("lsn")).head().getLong(0)
+      lake.create(Schemas.transcript, LakeTable.bucketsFor(maxLsn))
       val cut = maxLsn / 2
       val bounds = Backfill.planChunkBounds(
         env.filter(col("lsn") <= cut).select("conv_id"), "conv_id", 4)
@@ -309,8 +311,10 @@ object CdcQueries {
     val lakes = Map(
       "alpha" -> LakeTable(spark, s"$dir/alpha"),
       "beta" -> LakeTable(spark, s"$dir/beta"))
-    lakes.values.foreach(_.create(Schemas.transcript, 8))
     val maxLsn = env.agg(max("lsn")).head().getLong(0)
+    // each tracked table receives ~1/3 of the routed stream
+    lakes.values.foreach(
+      _.create(Schemas.transcript, LakeTable.bucketsFor(maxLsn / 3)))
     val step = math.max(1L, maxLsn / 3 + 1)
     for (i <- 0 until 3) {
       val b = env.filter(col("lsn") >= i * step && col("lsn") < (i + 1) * step)
@@ -358,9 +362,10 @@ object CdcQueries {
       .withColumn("ddl", lit(null).cast("string"))
     val dir = scratchDir("graft-dec")
     val lake = LakeTable(spark, dir)
-    lake.create(StructType(Schemas.transcript.fields.patch(6,
-      Seq(StructField("amount", DecimalType(20, 2))), 0)), 8)
     val maxLsn = env.agg(max("lsn")).head().getLong(0)
+    lake.create(StructType(Schemas.transcript.fields.patch(6,
+      Seq(StructField("amount", DecimalType(20, 2))), 0)),
+      LakeTable.bucketsFor(maxLsn))
     val cut = maxLsn / 2
     import spark.implicits._
     val widen = Seq((cut - cut % 2 + 1, Op.SchemaChange,

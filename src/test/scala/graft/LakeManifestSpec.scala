@@ -301,4 +301,14 @@ class LakeManifestSpec extends SparkSpec {
     assert(so.bucketRowCounts.nonEmpty && so.bucketTombMinLsn.nonEmpty)
     assert(liveState(viaObserve) == liveState(viaScan))
   }
+
+  test("bucketsFor: size-derived, power-of-two, clamped") {
+    assert(LakeTable.bucketsFor(0) == 4)          // floor
+    assert(LakeTable.bucketsFor(100000) == 4)     // bench-ish scale
+    assert(LakeTable.bucketsFor(50000L * 16) == 16)
+    assert(LakeTable.bucketsFor(50000L * 17) == 32) // rounds UP to pow2
+    assert(LakeTable.bucketsFor(Long.MaxValue / 4) == 4096) // ceiling
+    for (k <- Seq(1L, 12345L, 999999L, 123456789L))
+      assert(Integer.bitCount(LakeTable.bucketsFor(k)) == 1, s"pow2 for $k")
+  }
 }
