@@ -91,6 +91,47 @@ private[control] object StateBytesMemo {
   val invalid: StateBytesMemo = StateBytesMemo(-1L, 0L, -1L, -1L)
 }
 
+/** The ONE state-size memo implementation both control planes use
+  * (Control and MultiControl previously carried verbatim copies of this
+  * concurrency-sensitive logic — a fix applied to one and not the other
+  * would diverge silently).
+  *
+  * /status may be polled at dashboard frequency, and a recursive listing
+  * of a multi-GB state dir per poll is real I/O against object storage —
+  * memoize for a few seconds. State only changes when a micro-batch
+  * commits, so the memo key also carries the latest progress timestamp: a
+  * fresh batch invalidates immediately instead of serving a stale size
+  * for up to 5 s. [[invalidate]] (called by pause/drain/rebase, which
+  * hold the control lock — the non-atomic volatile bump is single-writer)
+  * bumps the epoch BEFORE dropping the memo, so a poll that began its
+  * listing before the verb publishes into the OLD epoch and is discarded
+  * — /status can never resurrect a pre-drop size from an in-flight
+  * computation.
+  */
+private[control] final class StateBytesTracker(
+    spark: SparkSession, checkpointDir: String) {
+  @volatile private var epoch: Long = 0L
+  @volatile private var memo: StateBytesMemo = StateBytesMemo.invalid
+
+  def invalidate(): Unit = {
+    epoch += 1
+    memo = StateBytesMemo.invalid
+  }
+
+  def bytesNow(latestProgressTs: Long): Long = {
+    val now = System.currentTimeMillis()
+    val e = epoch
+    val m = memo
+    if (m.bytes >= 0 && now < m.expiresAt && latestProgressTs == m.progressTs &&
+        e == m.epoch) m.bytes
+    else {
+      val b = CheckpointOps.stateBytes(spark, checkpointDir)
+      if (epoch == e) memo = StateBytesMemo(b, now + 5000L, latestProgressTs, e)
+      b
+    }
+  }
+}
+
 /** Checkpoint-dir helpers shared by both control planes. */
 private[control] object CheckpointOps {
   import org.apache.hadoop.fs.Path
@@ -229,7 +270,7 @@ final class Control(
   def pause(): Unit = synchronized {
     query.foreach(_.stop())
     query = None
-    stateBytesMemo = StateBytesMemo.invalid
+    stateBytes.invalidate()
   }
 
   // surfaced as status().state while drain() holds the control lock (the
@@ -252,7 +293,7 @@ final class Control(
       maintenance = maintenance)
     finally {
       drainingFlag = false
-      stateBytesMemo = StateBytesMemo.invalid
+      stateBytes.invalidate()
     }
   }
 
@@ -309,38 +350,12 @@ final class Control(
     require(lake.snapshot().endLsn >= 0,
       "refusing to rebase: the lake has no applied position " +
         "(nothing would guard replayed events)")
-    stateEpoch += 1 // in-flight polls must not publish a pre-drop size
+    stateBytes.invalidate() // in-flight polls must not publish a pre-drop size
     CheckpointOps.dropCheckpoint(spark, checkpointDir)
-    stateBytesMemo = StateBytesMemo.invalid
+    stateBytes.invalidate() // ...nor a partial size computed mid-delete
   }
 
-  // /status may be polled at dashboard frequency, and a recursive listing
-  // of a multi-GB state dir per poll is real I/O against object storage —
-  // memoize for a few seconds. State only changes when a micro-batch
-  // commits, so the memo key also carries the latest progress timestamp: a
-  // fresh batch invalidates immediately instead of serving a stale size
-  // for up to 5 s (drain()/pause() invalidate too — their final batches'
-  // listener events may still be in flight). `stateEpoch` closes the
-  // rebase race: a poll that began its listing before rebaseCheckpoint's
-  // delete publishes into the OLD epoch and is discarded, so /status can
-  // never report the pre-rebase size (or rebaseRecommended=true) after a
-  // successful rebase.
-  @volatile private var stateEpoch: Long = 0L
-  @volatile private var stateBytesMemo: StateBytesMemo = StateBytesMemo.invalid
-  private def dedupStateBytesNow(): Long = {
-    val now = System.currentTimeMillis()
-    val prog = metrics.latest.map(_.tsMs).getOrElse(-1L)
-    val epoch = stateEpoch
-    val m = stateBytesMemo
-    if (m.bytes >= 0 && now < m.expiresAt && prog == m.progressTs &&
-        epoch == m.epoch) m.bytes
-    else {
-      val b = CheckpointOps.stateBytes(spark, checkpointDir)
-      if (stateEpoch == epoch)
-        stateBytesMemo = StateBytesMemo(b, now + 5000L, prog, epoch)
-      b
-    }
-  }
+  private val stateBytes = new StateBytesTracker(spark, checkpointDir)
 
   /** Atomic paused-check + rebase for the HTTP facade (same race shape as
     * [[triggerSnapshotIfPaused]]). Returns false (→ 409) when running.
@@ -352,7 +367,8 @@ final class Control(
 
   def status(): ControlStatus = {
     val snap = lake.snapshot()
-    val stateBytes = dedupStateBytesNow()
+    val stateBytesNow =
+      stateBytes.bytesNow(metrics.latest.map(_.tsMs).getOrElse(-1L))
     ControlStatus(
       running = isRunning,
       snapshotVersion = snap.version,
@@ -372,9 +388,9 @@ final class Control(
         else if (isRunning) "running" else "paused",
       stage = if (chunkSource.exists(_.numChunks > snap.backfillDone))
         "snapshot" else "cdc",
-      dedupStateBytes = stateBytes,
+      dedupStateBytes = stateBytesNow,
       rebaseRecommended =
-        rebaseThresholdBytes > 0 && stateBytes > rebaseThresholdBytes)
+        rebaseThresholdBytes > 0 && stateBytesNow > rebaseThresholdBytes)
   }
 
   /** Detach the metrics listener (call when discarding this Control). */

@@ -55,7 +55,7 @@ final class MultiControl(
   def pause(): Unit = synchronized {
     query.foreach(_.stop())
     query = None
-    stateBytesMemo = StateBytesMemo.invalid
+    stateBytes.invalidate()
   }
 
   def stop(): Unit = pause()
@@ -69,7 +69,7 @@ final class MultiControl(
       maintenance = maintenance).awaitTermination()
     finally {
       drainingFlag = false
-      stateBytesMemo = StateBytesMemo.invalid
+      stateBytes.invalidate()
     }
   }
 
@@ -107,29 +107,14 @@ final class MultiControl(
     require(lakes.values.forall(_.snapshot().endLsn >= 0),
       "refusing to rebase: a destination lake has no applied position " +
         "(nothing would guard its replayed events)")
-    stateEpoch += 1 // in-flight polls must not publish a pre-drop size
+    stateBytes.invalidate() // in-flight polls must not publish a pre-drop size
     CheckpointOps.dropCheckpoint(spark, checkpointDir)
-    stateBytesMemo = StateBytesMemo.invalid
+    stateBytes.invalidate() // ...nor a partial size computed mid-delete
   }
 
-  // same memo discipline as Control: keyed on the latest batch progress,
-  // epoch-guarded against the rebase race, invalidated by pause/drain
-  @volatile private var stateEpoch: Long = 0L
-  @volatile private var stateBytesMemo: StateBytesMemo = StateBytesMemo.invalid
-  private def dedupStateBytesNow(): Long = {
-    val now = System.currentTimeMillis()
-    val prog = metrics.latest.map(_.tsMs).getOrElse(-1L)
-    val epoch = stateEpoch
-    val m = stateBytesMemo
-    if (m.bytes >= 0 && now < m.expiresAt && prog == m.progressTs &&
-        epoch == m.epoch) m.bytes
-    else {
-      val b = CheckpointOps.stateBytes(spark, checkpointDir)
-      if (stateEpoch == epoch)
-        stateBytesMemo = StateBytesMemo(b, now + 5000L, prog, epoch)
-      b
-    }
-  }
+  // the shared tracker (see StateBytesTracker): keyed on the latest batch
+  // progress, epoch-guarded, invalidated by pause/drain/rebase
+  private val stateBytes = new StateBytesTracker(spark, checkpointDir)
 
   def rebaseIfPaused(): Boolean = synchronized {
     if (isRunning) false
@@ -144,7 +129,8 @@ final class MultiControl(
       TableStatus(n, s.version, s.batchId, s.endLsn, s.schemaVersion,
         s.rowCount, s.lineage.map(_.wallMs).getOrElse(-1L))
     }
-    val stateBytes = dedupStateBytesNow()
+    val stateBytesNow =
+      stateBytes.bytesNow(metrics.latest.map(_.tsMs).getOrElse(-1L))
     ControlStatus(
       running = isRunning,
       snapshotVersion = snaps.map(_._2.version).max,
@@ -160,9 +146,9 @@ final class MultiControl(
       lagMs = metrics.latest.map(_.lagMs).getOrElse(-1L),
       state = if (drainingFlag) "draining"
         else if (isRunning) "running" else "paused",
-      dedupStateBytes = stateBytes,
+      dedupStateBytes = stateBytesNow,
       rebaseRecommended =
-        rebaseThresholdBytes > 0 && stateBytes > rebaseThresholdBytes,
+        rebaseThresholdBytes > 0 && stateBytesNow > rebaseThresholdBytes,
       tables = tableRows)
   }
 

@@ -75,15 +75,19 @@ object IntervalDedup {
     *
     *   - dense: `words.length == nWords` — the fixed bitmap, one bit per
     *     lsn slot (what every pre-round-6 checkpoint holds).
-    *   - sparse (self-describing, round-7 writer): `words(0) == -shift`
-    *     (the SENTINEL — slot values are non-negative, so the sign
+    *   - sparse (self-describing, round-7 writer): 1-3 leading `-shift`
+    *     SENTINELS (slot values are non-negative, so the sign
     *     discriminates) followed by the strictly-increasing SET SLOT
-    *     VALUES. Used while popcount + 1 < nWords, so a sparse container
-    *     can never collide with the dense length. The embedded shift makes
-    *     a different-shift resume LOUD deterministically — the round-6
-    *     guard was only probabilistic for sparse containers (a sparse
-    *     array from another shift whose slots all fit this shift's range
-    *     decoded silently and mis-mapped lsns).
+    *     VALUES. The sentinel count pads the TOTAL length to a
+    *     non-power-of-two, so a sparse container can never equal ANY
+    *     shift's dense length (every nWords is a power of two) — without
+    *     the padding, a shift-14 sparse array of length 16 resumed at
+    *     shift 10 would be misread as that shift's dense bitmap. Used
+    *     while still strictly shorter than the bitmap. The embedded shift
+    *     makes a different-shift resume LOUD deterministically — the
+    *     round-6 guard was only probabilistic for sparse containers (a
+    *     sparse array from another shift whose slots all fit this shift's
+    *     range decoded silently and mis-mapped lsns).
     *   - sparse (legacy round-6 writer): `words.length < nWords`,
     *     non-negative strictly-increasing slot values, no sentinel —
     *     accepted with the range/order guard (best available for data
@@ -112,6 +116,8 @@ object IntervalDedup {
     * entirely within this shift's slot range — vanishingly unlikely for
     * real bitmap words, and checked.
     */
+  private def isPow2(n: Int): Boolean = n > 0 && (n & (n - 1)) == 0
+
   private[graft] def decode(arr: Array[Long], nWords: Int, shift: Int): Array[Long] = {
     val mismatch = s"dedup state was checkpointed with a different shift " +
       s"or is corrupt (container length ${arr.length}, bitmap words $nWords); " +
@@ -119,9 +125,16 @@ object IntervalDedup {
     if (arr.length == nWords) arr.clone()
     else {
       require(arr.length < nWords, mismatch)
-      val sentinel = arr.length > 0 && arr(0) < 0
-      if (sentinel) require(arr(0) == -shift.toLong, mismatch)
-      val from = if (sentinel) 1 else 0
+      // consume the leading sentinel(s): the writer pads so a sentinel-
+      // sparse container's LENGTH is never a power of two, hence never
+      // equals any shift's nWords — a sparse container from shift A can
+      // therefore never be misread as a dense bitmap at shift B (every
+      // nWords is a power of two). Legacy round-6 sparse has no sentinel.
+      var from = 0
+      while (from < arr.length && arr(from) < 0) {
+        require(arr(from) == -shift.toLong && from < 3, mismatch)
+        from += 1
+      }
       val max = 1L << shift
       val words = new Array[Long](nWords)
       var i = from
@@ -137,20 +150,24 @@ object IntervalDedup {
     }
   }
 
-  /** Store a bitmap in its smaller encoding: sentinel + sorted slot array
-    * while `popcount + 1 < nWords` (strictly shorter than the bitmap, so
-    * the dense length stays unambiguous), the bitmap itself from the
-    * crossover on.
+  /** Store a bitmap in its smaller encoding: sentinel(s) + sorted slot
+    * array while that stays strictly shorter than the bitmap, the bitmap
+    * itself from the crossover on. Sentinel padding rule: at least one
+    * `-shift` sentinel, extended (≤3 total — only lengths 1 and 2 are
+    * consecutive powers of two) until the total length is NOT a power of
+    * two, so a sparse container can never have any shift's dense length.
     */
   private[graft] def encode(words: Array[Long], nWords: Int, shift: Int): Array[Long] = {
     var pc = 0
     var i = 0
     while (i < nWords) { pc += java.lang.Long.bitCount(words(i)); i += 1 }
-    if (pc + 1 >= nWords) words
+    var nSent = 1
+    while (isPow2(pc + nSent)) nSent += 1
+    if (pc + nSent >= nWords) words
     else {
-      val slots = new Array[Long](pc + 1)
-      slots(0) = -shift.toLong // self-describing sentinel (see BucketState)
-      var k = 1
+      val slots = new Array[Long](pc + nSent)
+      var k = 0
+      while (k < nSent) { slots(k) = -shift.toLong; k += 1 }
       i = 0
       while (i < nWords) {
         var w = words(i)

@@ -439,7 +439,13 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
     val useObserve = numBuckets <= LakeTable.observeStatsMaxBuckets
     val statsObs = if (useObserve) Some(new org.apache.spark.sql.Observation())
       else None
-    val toWrite = statsObs.fold(prepared) { obs =>
+    // the observe node sits ABOVE the repartition exchange, i.e. in the
+    // WRITE (result) stage: result-stage accumulator updates are applied
+    // exactly once per task even under retries/speculation, while a
+    // map-stage CollectMetrics would double-count rows whose shuffle
+    // output is recomputed after a fetch failure
+    val repartitioned = prepared.repartition(parts, col("_bucket"))
+    val toWrite = statsObs.fold(repartitioned) { obs =>
       val aggs = (0 until numBuckets).flatMap { b =>
         count(when(col("_bucket") === b, 1)).as(s"n$b") +: (
           if (hasAudit)
@@ -447,10 +453,9 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
               col("_lsn"))).as(s"t$b"))
           else Seq.empty)
       }
-      prepared.observe(obs, aggs.head, aggs.tail: _*)
+      repartitioned.observe(obs, aggs.head, aggs.tail: _*)
     }
     toWrite
-      .repartition(parts, col("_bucket"))
       .write.partitionBy("_bucket").mode("overwrite")
       .parquet(out.toString)
     // An EMPTY write can lose its CollectMetrics node to
@@ -829,10 +834,12 @@ final class LakeTable(val root: String, hadoopConf: Configuration)
 }
 
 object LakeTable {
-  def apply(spark: SparkSession, root: String): LakeTable = {
-    graft.model.SessionTuning.tune(spark)
+  // deliberately NO session tuning here: constructing a table handle in
+  // someone else's SparkSession must not mutate their SQL conf — the
+  // engine's own entry points (Pipeline.start/startMulti/runAvailable,
+  // the declared queries) call SessionTuning.tune themselves
+  def apply(spark: SparkSession, root: String): LakeTable =
     new LakeTable(root, spark.sparkContext.hadoopConfiguration)
-  }
 
   /** Bucket-count ceiling for the zero-extra-job observe stats path in
     * `writeDataFiles` (~2·numBuckets conditional aggregates per written

@@ -20,7 +20,17 @@ object SessionTuning {
     * not a constant tuned for either local mode or the cluster). Idempotent
     * and cheap — callers invoke it on every operator entry.
     */
+  /** Opt-out for embedders who must not have their session conf touched:
+    * -Dgraft.tuning.disabled=true (or the env var). The engine then runs
+    * with whatever the session already has.
+    */
+  private lazy val disabled: Boolean =
+    sys.props.get("graft.tuning.disabled")
+      .orElse(sys.env.get("SPARK_GRAFT_TUNING_DISABLED"))
+      .exists(_.equalsIgnoreCase("true"))
+
   def tune(spark: SparkSession): SparkSession = {
+    if (disabled) return spark
     spark.conf.set(
       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // Guide §3.1/§9: allow shuffled-hash join where its size conditions

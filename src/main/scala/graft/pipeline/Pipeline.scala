@@ -208,6 +208,7 @@ object Pipeline {
       // snapshot_pause, handlers.rs:233-245)
       backfillGate: () => Boolean = () => true,
       maintenance: Option[Maintenance] = None): StreamingQuery = {
+    graft.model.SessionTuning.tune(spark) // engine entry point: own session tuning
     val src0 = spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -261,6 +262,7 @@ object Pipeline {
       // dir compaction + tmp reaping); 0 = off. Same single-writer shape
       // as the merge path's Maintenance.
       maintenanceEvery: Int = 0): StreamingQuery = {
+    graft.model.SessionTuning.tune(spark) // engine entry point: own session tuning
     val src0 = spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -305,6 +307,7 @@ object Pipeline {
       // checkpoint-locked, the per-table MERGEs must track the CURRENT
       // executor count across cluster resizes
       applyShufflePartitions: Option[Int] = None): StreamingQuery = {
+    graft.model.SessionTuning.tune(spark) // engine entry point: own session tuning
     val src0 = spark.readStream
       .schema(Schemas.changeEventMulti)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

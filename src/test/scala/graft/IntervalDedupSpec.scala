@@ -66,22 +66,42 @@ class IntervalSetSpec extends AnyFunSuite {
     val nWords = 1 << (shift - 6)
     val rnd = new scala.util.Random(11)
     // roundtrip at every density regime incl. the exact crossover: the
-    // round-7 self-describing sparse form is sentinel(-shift) + slots and
-    // is used while pc + 1 < nWords (one slot earlier than round 6, so a
-    // sparse container can never collide with the dense length)
-    for (pc <- Seq(0, 1, 2, nWords - 2, nWords - 1, nWords, nWords + 1, 200, 1024)) {
+    // round-7 self-describing sparse form is sentinel(s) + slots, with
+    // the sentinel count padding the TOTAL length to a non-power-of-two
+    // so a sparse container can never equal ANY shift's dense length
+    def nSent(pc: Int): Int = {
+      var n = 1
+      def isPow2(x: Int) = x > 0 && (x & (x - 1)) == 0
+      while (isPow2(pc + n)) n += 1
+      n
+    }
+    for (pc <- Seq(0, 1, 2, 3, 7, nWords - 3, nWords - 2, nWords - 1,
+        nWords, nWords + 1, 200, 1024)) {
       val slots = rnd.shuffle((0 until 1024).toList).take(pc)
       val words = new Array[Long](nWords)
       slots.foreach(s => words(s >>> 6) |= 1L << (s & 63))
       val enc = IntervalDedup.encode(words, nWords, shift)
-      if (pc + 1 < nWords)
-        assert(enc.length == pc + 1 && enc(0) == -shift.toLong &&
-          enc.drop(1).sameElements(slots.map(_.toLong).sorted),
+      if (pc + nSent(pc) < nWords) {
+        assert(enc.length == pc + nSent(pc) &&
+          enc.take(nSent(pc)).forall(_ == -shift.toLong) &&
+          enc.drop(nSent(pc)).sameElements(slots.map(_.toLong).sorted),
           s"pc=$pc should encode sentinel-sparse")
-      else
+        assert((enc.length & (enc.length - 1)) != 0,
+          s"sparse length ${enc.length} must not be a power of two")
+      } else
         assert(enc.length == nWords, s"pc=$pc should stay dense")
       assert(IntervalDedup.decode(enc, nWords, shift).sameElements(words),
         s"roundtrip broke at pc=$pc")
+    }
+    // cross-shift safety of the padding rule: a shift-14 sparse container
+    // can never carry a power-of-two length, so it can never be misread
+    // as SOME smaller shift's dense bitmap via the length==nWords branch
+    for (pc <- 0 until 64) {
+      val words14 = new Array[Long](1 << (14 - 6))
+      (0 until pc).foreach(s => words14(s >>> 6) |= 1L << (s & 63))
+      val enc14 = IntervalDedup.encode(words14, 1 << (14 - 6), 14)
+      if (enc14.length < (1 << (14 - 6)))
+        assert((enc14.length & (enc14.length - 1)) != 0, s"pc=$pc pow2 len")
     }
     // legacy round-6 sparse containers (no sentinel, strictly-increasing
     // slots) decode unchanged
