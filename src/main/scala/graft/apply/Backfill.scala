@@ -70,21 +70,32 @@ object Backfill {
       keys: DataFrame, keyCol: String, numChunks: Int,
       samplesPerChunk: Int = 200): Seq[String] = {
     if (numChunks <= 1) return Seq.empty
-    val distinct = keys.select(col(keyCol)).distinct()
-    val n = distinct.count()
-    if (n == 0) return Seq.empty
-    val target = numChunks.toLong * samplesPerChunk
-    val rate = math.max(1L, n / target)
-    val sampled =
-      if (rate <= 1L) distinct
-      else distinct.filter(
-        pmod(xxhash64(col(keyCol), lit(42L)), lit(rate)) === 0)
-    val sample = sampled.collect().map(_.getString(0)).sorted
-    if (sample.isEmpty) return Seq.empty
-    (1 until numChunks)
-      .map(i => sample((i.toLong * sample.length / numChunks).toInt))
-      .distinct
-      .filterNot(_ == sample.head) // a boundary at the min key adds nothing
+    // Persisted for the plan's duration: the count (to pick the sample
+    // rate) and the sample collect are two actions over the same distinct,
+    // and without the persist each pays the full distinct shuffle over the
+    // source key set — at scale the single most expensive pass of the plan,
+    // run twice (round-7 profile). MEMORY_AND_DISK: spilling the key set
+    // is strictly cheaper than recomputing its shuffle.
+    val distinct = keys.select(col(keyCol)).distinct().persist()
+    try {
+      val n = distinct.count()
+      if (n == 0) return Seq.empty
+      val target = numChunks.toLong * samplesPerChunk
+      val rate = math.max(1L, n / target)
+      val sampled =
+        if (rate <= 1L) distinct
+        else distinct.filter(
+          pmod(xxhash64(col(keyCol), lit(42L)), lit(rate)) === 0)
+      val sample = sampled.collect().map(_.getString(0)).sorted
+      if (sample.isEmpty) return Seq.empty
+      (1 until numChunks)
+        .map(i => sample((i.toLong * sample.length / numChunks).toInt))
+        .distinct
+        .filterNot(_ == sample.head) // a boundary at the min key adds nothing
+    } finally {
+      distinct.unpersist()
+      ()
+    }
   }
 
   /** The predicate selecting chunk `i` of the plan. Indexes past the last
